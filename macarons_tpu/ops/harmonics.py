@@ -1,0 +1,113 @@
+"""Real (tesseral) spherical harmonics, closed-form and fully vectorized.
+
+TPU-first replacement for the reference's recursive, globally-memoized Legendre
+evaluation (reference: macarons/utility/spherical_harmonics.py:12-156, which needs a
+per-batch cache clear). Here the associated-Legendre recurrence is unrolled at trace
+time over the static (l, m) index set, producing one fused elementwise computation —
+no cache, no host control flow, safe under jit/vmap/grad.
+
+Conventions match the reference (lucidrains-derived):
+  - Condon-Shortley phase included in P_l^m.
+  - Y_{l,0}   = N_l P_l^0(cos theta)
+  - Y_{l,m>0} = N_l sqrt(2 (l-m)!/(l+m)!) cos(m phi) P_l^m(cos theta)
+  - Y_{l,m<0} = N_l sqrt(2 (l-|m|)!/(l+|m|)!) sin(|m| phi) P_l^|m|(cos theta)
+  with N_l = sqrt((2l+1)/(4 pi)); theta = polar angle, phi = azimuth.
+
+Harmonics are packed in the reference's order: for l = 0..degree-1, m = -l..l,
+giving degree**2 coefficients (64 for degree 8).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _double_factorial(n: int) -> float:
+    out = 1.0
+    while n > 1:
+        out *= n
+        n -= 2
+    return out
+
+
+def _assoc_legendre_all(ct, st, max_l: int):
+    """All P_l^m(cos theta) for 0 <= m <= l < max_l, Condon-Shortley included.
+
+    ct = cos(theta), st = sin(theta) >= 0 (theta in [0, pi]).
+    Returns dict {(l, m): array} — static Python dict built at trace time.
+    """
+    P = {}
+    P[(0, 0)] = jnp.ones_like(ct)
+    for m in range(1, max_l):
+        # P_m^m = (-1)^m (2m-1)!! (sin theta)^m
+        P[(m, m)] = ((-1.0) ** m) * _double_factorial(2 * m - 1) * (st ** m)
+    for m in range(0, max_l - 1):
+        # P_{m+1}^m = (2m+1) x P_m^m
+        P[(m + 1, m)] = (2 * m + 1) * ct * P[(m, m)]
+    for m in range(0, max_l):
+        for l in range(m + 2, max_l):
+            # (l-m) P_l^m = (2l-1) x P_{l-1}^m - (l+m-1) P_{l-2}^m
+            P[(l, m)] = (
+                (2 * l - 1) * ct * P[(l - 1, m)] - (l + m - 1) * P[(l - 2, m)]
+            ) / (l - m)
+    return P
+
+
+@partial(jax.jit, static_argnames=("degree",))
+def real_spherical_harmonics(theta, phi, degree: int = 8):
+    """Evaluate all real SH with l < degree at (theta, phi).
+
+    Args:
+      theta: polar angle array (...,). NOT elevation — theta = pi/2 - elev.
+      phi: azimuth array (...,).
+      degree: number of bands; output has degree**2 channels.
+    Returns: (..., degree**2) array, packed l-major, m from -l to l.
+    """
+    theta = jnp.asarray(theta)
+    phi = jnp.asarray(phi)
+    ct = jnp.cos(theta)
+    st = jnp.sin(theta)
+    P = _assoc_legendre_all(ct, st, degree)
+
+    # Precompute cos(m phi), sin(m phi) via static unroll (cheap, fused by XLA).
+    cos_m = {m: jnp.cos(m * phi) for m in range(1, degree)}
+    sin_m = {m: jnp.sin(m * phi) for m in range(1, degree)}
+
+    outs = []
+    for l in range(degree):
+        N = math.sqrt((2 * l + 1) / (4 * math.pi))
+        for m in range(-l, l + 1):
+            m_abs = abs(m)
+            if m == 0:
+                outs.append(N * P[(l, 0)])
+            else:
+                # sqrt(2 (l-|m|)! / (l+|m|)!)
+                ratio = math.sqrt(
+                    2.0 * math.factorial(l - m_abs) / math.factorial(l + m_abs)
+                )
+                ang = cos_m[m_abs] if m > 0 else sin_m[m_abs]
+                outs.append(N * ratio * ang * P[(l, m_abs)])
+    return jnp.stack(outs, axis=-1)
+
+
+def harmonics_from_directions(rays, degree: int = 8):
+    """Real SH of the directions of `rays` (..., 3), reference packing.
+
+    Uses the reference's angle mapping (SconeVis.py:192-193): elevation from
+    get_spherical_coords, then theta = pi/2 - elev, phi = azim.
+    """
+    from .geometry import get_spherical_coords
+
+    _, elev, azim = get_spherical_coords(rays)
+    theta = jnp.pi / 2.0 - elev
+    return real_spherical_harmonics(theta, azim, degree=degree)
+
+
+def evaluate_from_harmonic_coordinates(coordinates, theta, phi, degree: int):
+    """sum_k coords_k Y_k(theta, phi) — reference spherical_harmonics.py:159-175."""
+    z = real_spherical_harmonics(theta, phi, degree=degree)
+    return jnp.sum(coordinates * z, axis=-1)
