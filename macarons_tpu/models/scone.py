@@ -1,0 +1,289 @@
+"""SCONE modules: occupancy-probability and visibility-gain transformers.
+
+TPU-first rebuilds of the reference nets (macarons/networks/SconeOcc.py:133-347,
+SconeVis.py:6-303) with identical architectures but fixed-shape, key-threaded
+randomness and batched-candidate coverage evaluation (the sequential
+per-candidate NBV loop becomes one fused launch — SURVEY.md §7 delta 3).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.harmonics import harmonics_from_directions
+from ..ops.knn import knn_points
+from .attention import Dense, Embedding, Encoder, PCTransformer
+
+
+class XEmbedding(nn.Module):
+    """Query-point MLP embedding (reference SconeOcc.py:7-42)."""
+
+    x_dim: int = 3
+    x_embedding_dim: int = 512
+    gelu: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        act = nn.gelu if self.gelu else nn.relu
+        d = self.x_embedding_dim
+        x = act(Dense(d // 4)(x))
+        x = act(Dense(d // 2)(x))
+        return act(Dense(d)(x))
+
+
+class SconeOcc(nn.Module):
+    """Occupancy-probability field: (point cloud, query x, view harmonics) -> occ.
+
+    Architecture identical to the reference (SconeOcc.py:133-347): global
+    PCTransformer over a seq_len down-sample + n_scale local kNN transformers over
+    multi-scale random down-samples + query embedding + view-state harmonics ->
+    3-layer MLP head. Randomness is an explicit PRNG key; padded points are
+    handled with pc_mask (fixed shapes on TPU).
+    """
+
+    seq_len: int = 2048
+    pts_dim: int = 3
+    pts_embedding_dim: int = 128
+    concatenate_input: bool = True
+    n_code: int = 2
+    n_heads: int = 4
+    FF: bool = True
+    gelu: bool = True
+    global_feature_dim: int = 512
+    n_scale: int = 3
+    local_feature_dim: int = 256
+    k_for_knn: int = 16
+    x_dim: int = 3
+    x_embedding_dim: int = 512
+    n_harmonics: int = 64
+    output_dim: int = 1
+    offset: bool = True
+
+    @nn.compact
+    def __call__(self, pc, x, view_harmonics, key=None, pc_mask=None):
+        """pc (B, L, 3); x (B, S, 3); view_harmonics (B, S, n_harmonics);
+        key: PRNG key for random down-sampling (None -> deterministic slices);
+        pc_mask (B, L) validity for padded clouds.
+        Returns (B, S, output_dim)."""
+        n_clouds, full_seq_len = pc.shape[0], pc.shape[1]
+        n_sample = x.shape[1]
+
+        def subsample(k, length):
+            if k is None or length >= full_seq_len:
+                idx = jnp.arange(min(length, full_seq_len))
+            else:
+                idx = jax.random.permutation(k, full_seq_len)[:length]
+            return idx
+
+        keys = (
+            jax.random.split(key, 1 + self.n_scale) if key is not None
+            else [None] * (1 + self.n_scale)
+        )
+
+        # ----- global encoding (reference :267-278) -----
+        g_idx = subsample(keys[0], self.seq_len)
+        global_pc = jnp.take(pc, g_idx, axis=1)
+        g_mask = jnp.take(pc_mask, g_idx, axis=1) if pc_mask is not None else None
+        global_features = PCTransformer(
+            pts_dim=self.pts_dim,
+            pts_embedding_dim=self.pts_embedding_dim,
+            feature_dim=self.global_feature_dim,
+            concatenate_input=self.concatenate_input,
+            n_code=self.n_code, n_heads=self.n_heads, FF=self.FF, gelu=self.gelu,
+            name="global_transformer",
+        )(global_pc, pts_mask=g_mask)
+
+        # ----- multi-scale local encoding (reference :281-318) -----
+        if self.n_scale > 1:
+            ds_factor = int(
+                np.power(full_seq_len / (self.k_for_knn * 8), 1.0 / (self.n_scale - 1))
+            )
+            if ds_factor == 0:
+                ds_factor = 2
+        else:
+            ds_factor = 1
+
+        down_pc, down_mask = pc, pc_mask
+        local_feats = []
+        for n_t in range(self.n_scale):
+            if down_mask is not None:
+                from ..ops.knn import knn_points_masked
+
+                local_pc, _, _, _ = knn_points_masked(
+                    x, down_pc, self.k_for_knn, pc_mask=down_mask
+                )
+            else:
+                local_pc, _, _ = knn_points(x, down_pc, self.k_for_knn)
+            if self.offset:
+                local_pc = local_pc - x[:, :, None, :]
+            flat = local_pc.reshape(-1, self.k_for_knn, 3)
+            feats = PCTransformer(
+                pts_dim=self.pts_dim,
+                pts_embedding_dim=self.pts_embedding_dim,
+                feature_dim=self.local_feature_dim,
+                concatenate_input=self.concatenate_input,
+                n_code=self.n_code, n_heads=self.n_heads, FF=self.FF, gelu=self.gelu,
+                name=f"local_transformers_{n_t}",
+            )(flat)
+            local_feats.append(feats.reshape(n_clouds, n_sample, self.local_feature_dim))
+
+            if n_t < self.n_scale - 1:
+                ds_len = max(down_pc.shape[1] // ds_factor, self.k_for_knn)
+                d_idx = subsample(keys[1 + n_t], ds_len)
+                down_pc = jnp.take(down_pc, d_idx, axis=1)
+                if down_mask is not None:
+                    down_mask = jnp.take(down_mask, d_idx, axis=1)
+
+        local_features = (
+            jnp.concatenate(local_feats, axis=-1)
+            if self.n_scale > 0
+            else jnp.zeros((n_clouds, n_sample, 0))
+        )
+
+        # ----- query embedding + head (reference :323-347) -----
+        x_features = XEmbedding(
+            x_dim=self.x_dim, x_embedding_dim=self.x_embedding_dim, gelu=self.gelu,
+            name="x_embedding",
+        )(x)
+
+        g = jnp.broadcast_to(
+            global_features[:, None, :], (n_clouds, n_sample, self.global_feature_dim)
+        )
+        res = jnp.concatenate((g, local_features, x_features, view_harmonics), axis=-1)
+        act = nn.gelu if self.gelu else nn.relu
+        res = act(Dense(512)(res))
+        res = act(Dense(256)(res))
+        res = act(Dense(self.output_dim)(res))
+        return res
+
+
+class SconeVis(nn.Module):
+    """Visibility-gain transformer: per-point SH coefficients (reference SconeVis.py:6-162)."""
+
+    pts_dim: int = 4
+    pts_embedding_dim: int = 256
+    n_heads: int = 4
+    n_code: int = 3
+    n_harmonics: int = 64
+    max_harmonic_rank: int = 8
+    FF: bool = True
+    gelu: bool = True
+    use_view_state: bool = True
+    use_global_feature: bool = True
+    view_state_mode: str = "end"
+    concatenate_input: bool = True
+    k_for_knn: int = 0
+    use_sigmoid: bool = True
+
+    @nn.compact
+    def __call__(self, pts, view_harmonics=None, mask=None, pts_mask=None):
+        """pts (B, L, 4) [xyz + occ]; view_harmonics (B, L, n_harmonics).
+        Returns SH coefficients (B, L, n_harmonics)."""
+        additional_dim = (
+            self.n_harmonics
+            if self.use_view_state and self.view_state_mode == "start"
+            else 0
+        )
+        if mask is None and pts_mask is not None:
+            mask = pts_mask[..., None, :]
+        x = Embedding(
+            input_dim=self.pts_dim,
+            output_dim=self.pts_embedding_dim,
+            gelu=self.gelu,
+            global_feature=self.use_global_feature,
+            additional_feature_dim=additional_dim,
+            concatenate_input=self.concatenate_input,
+            k_for_knn=self.k_for_knn,
+            name="embedding",
+        )(
+            pts,
+            additional_feature=(
+                view_harmonics if additional_dim > 0 else None
+            ),
+            pts_mask=pts_mask,
+        )
+
+        for i in range(self.n_code):
+            x = Encoder(
+                embedding_dim=self.pts_embedding_dim,
+                qk_dim=self.pts_embedding_dim // 4,
+                n_heads=self.n_heads,
+                gelu=self.gelu,
+                FF=self.FF,
+                name=f"encoders_{i}",
+            )(x, mask=mask)
+
+        res = nn.LayerNorm()(x)
+
+        inner_factor = 4
+        if self.use_view_state and self.view_state_mode == "end":
+            inner_factor = 3
+        res = nn.gelu(Dense(inner_factor * self.n_harmonics, name="fc1")(res))
+        if self.use_view_state and self.view_state_mode == "end":
+            res = jnp.concatenate((res, view_harmonics), axis=-1)
+        res = nn.gelu(Dense(2 * self.n_harmonics, name="fc2")(res))
+        res = Dense(self.n_harmonics, name="fc3")(res)
+        return res
+
+
+# ---------------------------------------------------------------------------
+# Fused batched coverage-gain evaluation (the NBV hot path)
+# ---------------------------------------------------------------------------
+
+
+def compute_visibilities(pts, harmonics, X_cam, max_harmonic_rank: int = 8,
+                         use_sigmoid: bool = True):
+    """Per-point visibility gains for every candidate camera, in ONE launch.
+
+    pts (B, L, >=3); harmonics (B, L, H); X_cam (B, C, 3) ->
+    (B, C, L) visibility of each point from each candidate.
+    Matches reference SconeVis.compute_visibilities (SconeVis.py:164-208) but is
+    fully batched over candidates — the reference's sequential NBV loop
+    (train_macarons.py:299-315) collapses into this single evaluation.
+    """
+    X_pts = pts[..., :3]
+    rays = X_cam[:, :, None, :] - X_pts[:, None, :, :]  # (B, C, L, 3)
+    Y = harmonics_from_directions(rays, degree=max_harmonic_rank)  # (B, C, L, H)
+    z = jnp.einsum("bclh,blh->bcl", Y, harmonics)
+    return jax.nn.sigmoid(z) if use_sigmoid else jax.nn.relu(z)
+
+
+def compute_coverage_gain(pts, harmonics, X_cam, pts_mask=None,
+                          max_harmonic_rank: int = 8, use_sigmoid: bool = True):
+    """Coverage gain of every candidate camera (reference SconeVis.py:210-252).
+
+    Returns (B, C): mean per-point visibility (sum / seq_len — padded points are
+    zeroed via pts_mask, denominator stays seq_len like the reference).
+    """
+    vis = compute_visibilities(
+        pts, harmonics, X_cam, max_harmonic_rank=max_harmonic_rank,
+        use_sigmoid=use_sigmoid,
+    )
+    if pts_mask is not None:
+        vis = vis * pts_mask[:, None, :]
+    return jnp.sum(vis, axis=-1) / pts.shape[1]
+
+
+def compute_coverage_gain_multiple(pts, harmonics, X_cam, n_cam: int,
+                                   max_harmonic_rank: int = 8,
+                                   use_sigmoid: bool = True):
+    """Joint gain of every n_cam-subset of candidates (reference SconeVis.py:254-303).
+
+    Returns (gains (B, C**n_cam), idx (C**n_cam, n_cam))."""
+    if n_cam not in (2, 3):
+        raise ValueError("n_cam must be 2 or 3")
+    vis = compute_visibilities(
+        pts, harmonics, X_cam, max_harmonic_rank=max_harmonic_rank,
+        use_sigmoid=use_sigmoid,
+    )  # (B, C, L)
+    C = X_cam.shape[1]
+    grids = jnp.meshgrid(*([jnp.arange(C)] * n_cam), indexing="ij")
+    idx = jnp.stack([g.reshape(-1) for g in grids], axis=-1)  # (C^n, n_cam)
+    nv = vis[:, idx]  # (B, C^n, n_cam, L)
+    gains = jnp.sum(jnp.max(nv, axis=-2), axis=-1) / pts.shape[1]
+    return gains, idx
