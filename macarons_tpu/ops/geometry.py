@@ -197,15 +197,14 @@ class FoVCamera(NamedTuple):
 
     @classmethod
     def create(cls, R, T, fov=60.0, znear=0.5, zfar=100.0, aspect_ratio=1.0):
-        dt = jnp.asarray(R).dtype
-        return cls(
-            jnp.asarray(R, dt),
-            jnp.asarray(T, dt),
-            jnp.asarray(fov, dt),
-            jnp.asarray(znear, dt),
-            jnp.asarray(zfar, dt),
-            jnp.asarray(aspect_ratio, dt),
-        )
+        R = jnp.asarray(R)
+        dt = R.dtype
+        batch = R.shape[:-2]
+
+        def b(v):
+            return jnp.broadcast_to(jnp.asarray(v, dt), batch)
+
+        return cls(R, jnp.asarray(T, dt), b(fov), b(znear), b(zfar), b(aspect_ratio))
 
     # -- transforms ---------------------------------------------------------
     def world_to_view(self, pts):
@@ -248,6 +247,55 @@ class FoVCamera(NamedTuple):
         x_view = ndc_points[..., 0] * depth * tan_half * self.aspect_ratio[..., None]
         y_view = ndc_points[..., 1] * depth * tan_half
         pts_view = jnp.stack((x_view, y_view, depth), axis=-1)
+        return self.view_to_world(pts_view)
+
+
+class OrthoCamera(NamedTuple):
+    """Batched orthographic camera (PyTorch3D FoVOrthographicCameras defaults:
+    NDC box [-1,1]^2, scale 1). Used by the GT data generators
+    (reference utils.py:676-706 make_rasterizer)."""
+
+    R: jnp.ndarray
+    T: jnp.ndarray
+    znear: jnp.ndarray
+    zfar: jnp.ndarray
+
+    @classmethod
+    def create(cls, R, T, znear=0.5, zfar=100.0):
+        R = jnp.asarray(R)
+        dt = R.dtype
+        batch = R.shape[:-2]
+
+        def b(v):
+            return jnp.broadcast_to(jnp.asarray(v, dt), batch)
+
+        return cls(R, jnp.asarray(T, dt), b(znear), b(zfar))
+
+    def world_to_view(self, pts):
+        return jnp.einsum("...nj,...ji->...ni", pts, self.R, precision=_HI) + self.T[..., None, :]
+
+    def view_to_world(self, pts_view):
+        return jnp.einsum(
+            "...nj,...ij->...ni", pts_view - self.T[..., None, :], self.R,
+            precision=_HI,
+        )
+
+    def camera_center(self):
+        return camera_center_from_RT(self.R, self.T)
+
+    def project_view(self, pts_view):
+        zf = self.zfar[..., None]
+        zn = self.znear[..., None]
+        z_ndc = (pts_view[..., 2] - zn) / (zf - zn)
+        return jnp.stack((pts_view[..., 0], pts_view[..., 1], z_ndc), axis=-1)
+
+    def transform_points(self, pts):
+        return self.project_view(self.world_to_view(pts))
+
+    def unproject_ndc_depth(self, ndc_points):
+        pts_view = jnp.stack(
+            (ndc_points[..., 0], ndc_points[..., 1], ndc_points[..., 2]), axis=-1
+        )
         return self.view_to_world(pts_view)
 
 

@@ -1,0 +1,285 @@
+"""JAX mesh rasterizer — the TPU replacement for PyTorch3D's CUDA rasterizer.
+
+Replaces `rasterize_meshes` / `MeshRendererWithFragments` (SURVEY.md §2.9 row 1):
+produces per-pixel nearest-face id, view-space zbuf (empty pixels = -1, matching
+PT3D, reference macarons_utils.py:2294-2337), and barycentric coordinates —
+enough for `capture_image`, the GT data generators (orthographic path,
+generate_shapenet_data.py:55-66) and flat/Phong shading.
+
+Design: faces are processed in fixed-size chunks with a `lax.scan` carrying the
+running (zbuf, face id, barycentrics) over the full image — a brute-force
+O(F x H x W / chunk) sweep whose inner body is pure fused elementwise math on
+(pixels x chunk) tiles; XLA keeps the temporaries in registers/VMEM-sized
+blocks. At the reference's 256x456 with scene meshes this is fast enough for
+capture + data generation (the NBV hot path never rasterizes). A pallas
+tile-binned version can swap in behind the same API later.
+
+Conventions: +X left/+Y up NDC (pixel (0,0) is top-right in NDC, see
+geometry.ndc_pixel_grid); barycentrics are screen-space or perspective-correct
+(PT3D uses perspective_correct=True for the GT generators, utils.py:676-706).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .geometry import FoVCamera, OrthoCamera, ndc_pixel_grid
+
+
+class Fragments(NamedTuple):
+    """Rasterization output for one camera batch: (N, H, W[, 3]) arrays."""
+
+    pix_to_face: jnp.ndarray  # int32, -1 = empty
+    zbuf: jnp.ndarray  # view-space z, -1 = empty (PT3D convention)
+    bary: jnp.ndarray  # (N, H, W, 3) barycentric coords of the winning face
+
+
+def _face_vertices(verts_proj, faces):
+    """verts_proj (V, 3)[x_ndc, y_ndc, z_view]; faces (F, 3) -> (F, 3, 3)."""
+    return verts_proj[faces]
+
+
+@partial(jax.jit, static_argnames=("image_size", "chunk", "perspective_correct"))
+def _rasterize_single(verts_proj, faces, image_size, chunk: int,
+                      perspective_correct: bool, face_mask=None,
+                      eps: float = 1e-8):
+    """Rasterize one mesh under one camera. verts_proj (V,3) = (x_ndc, y_ndc, z_view)."""
+    H, W = image_size
+    F = faces.shape[0]
+    n_pix = H * W
+
+    ndc_x, ndc_y = ndc_pixel_grid(H, W, dtype=verts_proj.dtype)
+    px = ndc_x.reshape(-1)
+    py = ndc_y.reshape(-1)
+
+    fv = _face_vertices(verts_proj, faces)  # (F, 3, 3)
+    if face_mask is None:
+        face_mask = jnp.ones((F,), bool)
+
+    # Pad faces to a multiple of chunk with invalid faces.
+    pad = (-F) % chunk
+    if pad:
+        fv = jnp.concatenate([fv, jnp.zeros((pad, 3, 3), fv.dtype)], axis=0)
+        face_mask = jnp.concatenate([face_mask, jnp.zeros((pad,), bool)], axis=0)
+    n_chunks = fv.shape[0] // chunk
+
+    fv_chunks = fv.reshape(n_chunks, chunk, 3, 3)
+    fm_chunks = face_mask.reshape(n_chunks, chunk)
+
+    big = jnp.asarray(jnp.inf, verts_proj.dtype)
+
+    def body(carry, inp):
+        best_z, best_f, best_b = carry
+        fvc, fmc, base_idx = inp
+        x0, y0, z0 = fvc[:, 0, 0], fvc[:, 0, 1], fvc[:, 0, 2]
+        x1, y1, z1 = fvc[:, 1, 0], fvc[:, 1, 1], fvc[:, 1, 2]
+        x2, y2, z2 = fvc[:, 2, 0], fvc[:, 2, 1], fvc[:, 2, 2]
+
+        # Signed area (x2 of triangle); degenerate faces are masked out.
+        area = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)  # (C,)
+        valid_face = fmc & (jnp.abs(area) > eps) & (z0 > eps) & (z1 > eps) & (z2 > eps)
+        inv_area = jnp.where(jnp.abs(area) > eps, 1.0 / area, 0.0)
+
+        # Barycentrics for all pixels x chunk faces: w_i via edge functions.
+        dxp = px[:, None]  # (P, 1)
+        dyp = py[:, None]
+        w0 = ((x1 - dxp) * (y2 - dyp) - (x2 - dxp) * (y1 - dyp)) * inv_area[None, :]
+        w1 = ((x2 - dxp) * (y0 - dyp) - (x0 - dxp) * (y2 - dyp)) * inv_area[None, :]
+        w2 = 1.0 - w0 - w1
+
+        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & valid_face[None, :]
+
+        if perspective_correct:
+            # Correct screen-space barycentrics by 1/z before interpolating.
+            iw0 = w0 / z0[None, :]
+            iw1 = w1 / z1[None, :]
+            iw2 = w2 / z2[None, :]
+            denom = iw0 + iw1 + iw2
+            denom = jnp.where(jnp.abs(denom) > eps, denom, eps)
+            b0, b1, b2 = iw0 / denom, iw1 / denom, iw2 / denom
+            z = b0 * z0[None, :] + b1 * z1[None, :] + b2 * z2[None, :]
+        else:
+            b0, b1, b2 = w0, w1, w2
+            z = w0 * z0[None, :] + w1 * z1[None, :] + w2 * z2[None, :]
+
+        inside = inside & (z > eps)
+        z_masked = jnp.where(inside, z, big)
+        # Nearest face of this chunk per pixel.
+        j = jnp.argmin(z_masked, axis=-1)  # (P,)
+        rows = jnp.arange(n_pix)
+        zc = z_masked[rows, j]
+        fc = base_idx + j
+        bc = jnp.stack((b0[rows, j], b1[rows, j], b2[rows, j]), axis=-1)
+
+        better = zc < best_z
+        best_z = jnp.where(better, zc, best_z)
+        best_f = jnp.where(better, fc, best_f)
+        best_b = jnp.where(better[:, None], bc, best_b)
+        return (best_z, best_f, best_b), None
+
+    init = (
+        jnp.full((n_pix,), big, verts_proj.dtype),
+        jnp.full((n_pix,), -1, jnp.int32),
+        jnp.zeros((n_pix, 3), verts_proj.dtype),
+    )
+    base_indices = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    (best_z, best_f, best_b), _ = jax.lax.scan(
+        body, init, (fv_chunks, fm_chunks, base_indices)
+    )
+
+    empty = ~jnp.isfinite(best_z)
+    zbuf = jnp.where(empty, -1.0, best_z).reshape(H, W)
+    pix_to_face = jnp.where(empty, -1, best_f).reshape(H, W)
+    bary = best_b.reshape(H, W, 3)
+    return Fragments(pix_to_face, zbuf, bary)
+
+
+def project_verts(verts, camera):
+    """World verts (V,3) -> (x_ndc, y_ndc, z_view) stack for one camera (no batch)."""
+    view = camera.world_to_view(verts[None])[0]
+    ndc = camera.project_view(view[None])[0]
+    return jnp.concatenate((ndc[..., :2], view[..., 2:]), axis=-1)
+
+
+def rasterize(verts, faces, camera, image_size, chunk: int = 256,
+              perspective_correct: bool = True, face_mask=None):
+    """Rasterize a mesh under a (batched) FoV or orthographic camera.
+
+    verts (V, 3), faces (F, 3); camera with batch shape (N,); image_size (H, W).
+    Returns Fragments with arrays shaped (N, H, W[, 3]).
+    """
+    if isinstance(camera, (FoVCamera, OrthoCamera)):
+        n_cam = camera.R.shape[0]
+    else:
+        raise TypeError(type(camera))
+
+    def one(i):
+        cam_i = jax.tree_util.tree_map(lambda x: x[i : i + 1], camera)
+        vp = project_verts(verts, cam_i)
+        return _rasterize_single(
+            vp, faces, tuple(image_size), chunk, perspective_correct,
+            face_mask=face_mask,
+        )
+
+    frags = [one(i) for i in range(n_cam)]
+    return Fragments(
+        jnp.stack([f.pix_to_face for f in frags]),
+        jnp.stack([f.zbuf for f in frags]),
+        jnp.stack([f.bary for f in frags]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shading (flat, point lights) — reference utils.py:731-807
+# ---------------------------------------------------------------------------
+
+
+class PointLights(NamedTuple):
+    """PT3D-style point lights (defaults: ambient 0.5, diffuse 0.3, specular 0.2)."""
+
+    location: jnp.ndarray  # (L, 3)
+    ambient_color: jnp.ndarray  # (L, 3)
+    diffuse_color: jnp.ndarray  # (L, 3)
+    specular_color: jnp.ndarray  # (L, 3)
+
+    @classmethod
+    def create(cls, location, ambient=0.5, diffuse=0.3, specular=0.2):
+        location = jnp.atleast_2d(jnp.asarray(location, jnp.float32))
+        L = location.shape[0]
+
+        def col(v):
+            v = jnp.asarray(v, jnp.float32)
+            if v.ndim == 0:
+                v = jnp.full((L, 3), v)
+            return jnp.broadcast_to(jnp.atleast_2d(v), (L, 3))
+
+        return cls(location, col(ambient), col(diffuse), col(specular))
+
+
+def face_normals(verts, faces):
+    """Unit per-face normals (F, 3)."""
+    fv = verts[faces]
+    n = jnp.cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0])
+    return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+
+
+def interpolate_face_attributes(fragments: Fragments, face_attrs):
+    """Barycentric interpolation of per-face-vertex attributes.
+
+    face_attrs (F, 3, C) -> (N, H, W, C) for the winning faces."""
+    f = jnp.maximum(fragments.pix_to_face, 0)
+    attrs = face_attrs[f]  # (N, H, W, 3, C)
+    out = jnp.einsum("...k,...kc->...c", fragments.bary, attrs)
+    return jnp.where(fragments.pix_to_face[..., None] >= 0, out, 0.0)
+
+
+def flat_shading(fragments: Fragments, verts, faces, texels, lights: PointLights,
+                 camera_center, shininess: float = 64.0):
+    """Per-face-normal Phong lighting (PT3D flat_shading semantics).
+
+    texels (N, H, W, 3) surface albedo; returns shaded RGB (N, H, W, 3).
+    colors = texels * (ambient + diffuse) + specular.
+    """
+    normals = face_normals(verts, faces)  # (F, 3)
+    f = jnp.maximum(fragments.pix_to_face, 0)
+    pix_normals = normals[f]  # (N, H, W, 3)
+
+    # World position of each pixel via barycentric interpolation.
+    fv = verts[faces]  # (F, 3, 3)
+    pix_pos = interpolate_face_attributes(fragments, fv)
+
+    amb = jnp.sum(lights.ambient_color, axis=0)  # (3,)
+
+    light_dir = lights.location[None, None, None, :, :] - pix_pos[..., None, :]
+    light_dir = light_dir / jnp.maximum(
+        jnp.linalg.norm(light_dir, axis=-1, keepdims=True), 1e-12
+    )
+    n = pix_normals[..., None, :]
+    cos = jnp.maximum(jnp.sum(n * light_dir, axis=-1), 0.0)  # (N,H,W,L)
+    diffuse = jnp.sum(cos[..., None] * lights.diffuse_color, axis=-2)
+
+    view_dir = camera_center[:, None, None, None, :] - pix_pos[..., None, :]
+    view_dir = view_dir / jnp.maximum(
+        jnp.linalg.norm(view_dir, axis=-1, keepdims=True), 1e-12
+    )
+    reflect = 2.0 * jnp.sum(n * light_dir, axis=-1, keepdims=True) * n - light_dir
+    spec_cos = jnp.maximum(jnp.sum(reflect * view_dir, axis=-1), 0.0)
+    specular = jnp.sum(
+        (spec_cos ** shininess)[..., None] * lights.specular_color, axis=-2
+    )
+
+    colors = texels * (amb + diffuse) + specular
+    return colors
+
+
+def render_mesh(verts, faces, camera, image_size, lights: PointLights,
+                vert_colors=None, face_colors=None, background=1.0,
+                chunk: int = 256, perspective_correct: bool = False,
+                face_mask=None):
+    """Full render: rasterize + flat-shade + hard blend over a background.
+
+    Reproduces the reference capture pipeline (MeshRendererWithFragments with
+    SoftFlatShader at blur=0, macarons_utils.py:706-737): returns
+    (images (N, H, W, 3), Fragments). Texture source: per-vertex colors
+    (interpolated) or per-face colors; default albedo 1.
+    """
+    frags = rasterize(verts, faces, camera, image_size, chunk=chunk,
+                      perspective_correct=perspective_correct,
+                      face_mask=face_mask)
+    if vert_colors is not None:
+        texels = interpolate_face_attributes(frags, vert_colors[faces])
+    elif face_colors is not None:
+        texels = face_colors[jnp.maximum(frags.pix_to_face, 0)]
+    else:
+        texels = jnp.ones((*frags.zbuf.shape, 3), verts.dtype)
+
+    colors = flat_shading(
+        frags, verts, faces, texels, lights, camera.camera_center()
+    )
+    valid = (frags.pix_to_face >= 0)[..., None]
+    images = jnp.where(valid, colors, background)
+    return images, frags
