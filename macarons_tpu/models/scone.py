@@ -73,11 +73,12 @@ class SconeOcc(nn.Module):
         n_clouds, full_seq_len = pc.shape[0], pc.shape[1]
         n_sample = x.shape[1]
 
-        def subsample(k, length):
-            if k is None or length >= full_seq_len:
-                idx = jnp.arange(min(length, full_seq_len))
+        def subsample(k, length, total):
+            """Indices of a random `length`-subset of range(total)."""
+            if k is None or length >= total:
+                idx = jnp.arange(min(length, total))
             else:
-                idx = jax.random.permutation(k, full_seq_len)[:length]
+                idx = jax.random.permutation(k, total)[:length]
             return idx
 
         keys = (
@@ -86,7 +87,7 @@ class SconeOcc(nn.Module):
         )
 
         # ----- global encoding (reference :267-278) -----
-        g_idx = subsample(keys[0], self.seq_len)
+        g_idx = subsample(keys[0], self.seq_len, full_seq_len)
         global_pc = jnp.take(pc, g_idx, axis=1)
         g_mask = jnp.take(pc_mask, g_idx, axis=1) if pc_mask is not None else None
         global_features = PCTransformer(
@@ -134,7 +135,7 @@ class SconeOcc(nn.Module):
 
             if n_t < self.n_scale - 1:
                 ds_len = max(down_pc.shape[1] // ds_factor, self.k_for_knn)
-                d_idx = subsample(keys[1 + n_t], ds_len)
+                d_idx = subsample(keys[1 + n_t], ds_len, down_pc.shape[1])
                 down_pc = jnp.take(down_pc, d_idx, axis=1)
                 if down_mask is not None:
                     down_mask = jnp.take(down_mask, d_idx, axis=1)

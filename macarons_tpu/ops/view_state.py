@@ -114,19 +114,29 @@ def _bin_directions(ray_elev, ray_azim, n_elev: int, n_azim: int,
 
 
 @partial(jax.jit, static_argnames=("n_elev", "n_azim"))
-def compute_view_state(pts, X_view, n_elev: int, n_azim: int):
+def compute_view_state(pts, X_view, n_elev: int, n_azim: int, view_mask=None):
     """Binary histogram of visited view directions per point.
 
-    pts (n_cloud, L, >=3); X_view (n_view, 3) camera positions (same space).
+    pts (n_cloud, L, >=3); X_view (n_view, 3) shared camera positions, or
+    (n_cloud, n_view, 3) per-cloud; view_mask (n_view,) or (n_cloud, n_view)
+    zeroes out padded views (fixed-shape batching).
     Returns (n_cloud, L, n_elev*n_azim) (reference scone_utils.py:799-860).
     """
     X_pts = pts[..., :3]
-    rays = X_view[None, None, :, :] - X_pts[:, :, None, :]  # (B, L, V, 3)
+    if X_view.ndim == 2:
+        rays = X_view[None, None, :, :] - X_pts[:, :, None, :]  # (B, L, V, 3)
+    else:
+        rays = X_view[:, None, :, :] - X_pts[:, :, None, :]
     _, ray_elev, ray_azim = get_spherical_coords(rays)
     indices = _bin_directions(ray_elev, ray_azim, n_elev, n_azim,
                               elev_upper_clamp=n_elev - 1)  # (B, L, V)
     n_candidates = n_elev * n_azim
     one_hot = jax.nn.one_hot(indices, n_candidates, dtype=jnp.float32)
+    if view_mask is not None:
+        if view_mask.ndim == 1:
+            one_hot = one_hot * view_mask[None, None, :, None]
+        else:
+            one_hot = one_hot * view_mask[:, None, :, None]
     return jnp.minimum(jnp.sum(one_hot, axis=-2), 1.0)
 
 
@@ -173,7 +183,7 @@ def compute_view_harmonics(view_state, base_harmonics, h_polar, n_elev: int,
 
 
 def filter_proxy_points_mask(view_cameras: FoVCamera, X, pc, filter_tol: float = 0.01,
-                             pc_mask=None):
+                             pc_mask=None, view_mask=None):
     """Mask of proxy points inside the projected bbox of the observed cloud.
 
     Fixed-shape version of reference scone_utils.py:1001-1027 (returns the mask
@@ -197,6 +207,9 @@ def filter_proxy_points_mask(view_cameras: FoVCamera, X, pc, filter_tol: float =
         max_proj = jnp.max(pc_proj, axis=-2, keepdims=True)
         min_proj = jnp.min(pc_proj, axis=-2, keepdims=True)
     ok = (X_proj < max_proj + filter_tol) & (X_proj > min_proj - filter_tol)
+    if view_mask is not None:
+        # Padded view cameras constrain nothing.
+        ok = ok | ~view_mask[:, None, None]
     return jnp.all(ok, axis=(0, -1))
 
 
