@@ -1,0 +1,269 @@
+"""Embodied camera agent: 5-D pose lattice, neighbor moves, capture.
+
+TPU rebuild of the reference Camera (macarons_utils.py:1852-2500): the pose
+space is arrays instead of string-keyed dicts; neighbor enumeration, pose
+validity tests, interpolation, and capture are fixed-shape device functions;
+the Camera object itself is a thin host-side episode bookkeeper.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.geometry import FoVCamera, get_cartesian_coords, look_at_view_transform
+from ..ops.projection import points_in_fov_mask
+from ..ops.rasterizer import PointLights, render_mesh
+
+
+def get_camera_RT(X_cam, V_cam):
+    """(R, T) from camera centers X_cam (n,3) and (elev, azim) degrees V_cam (n,2)
+    (reference macarons_utils.py:740-756)."""
+    X_cam = jnp.atleast_2d(X_cam)
+    V_cam = jnp.atleast_2d(V_cam)
+    rays = -get_cartesian_coords(
+        jnp.ones((V_cam.shape[0], 1)),
+        -1.0 * V_cam[:, 0:1],
+        180.0 + V_cam[:, 1:2],
+        in_degrees=True,
+    ).reshape(-1, 3)
+    return look_at_view_transform(eye=X_cam, at=X_cam + rays)
+
+
+def build_pose_shifts() -> np.ndarray:
+    """The neighbor move set: exactly-1-unit translation x <=1-unit rotation
+    (reference :1953-1963). Shape (54, 5)."""
+    grid = np.stack(np.meshgrid(*([np.arange(-1, 2)] * 5), indexing="ij"),
+                    axis=-1).reshape(-1, 5)
+    t_ok = np.abs(grid[:, :3]).sum(axis=1) == 1
+    r_ok = np.abs(grid[:, 3:]).sum(axis=1) <= 1
+    return grid[t_ok & r_ok].astype(np.int32)
+
+
+POSE_SHIFTS = build_pose_shifts()
+
+
+@dataclass
+class PoseSpace:
+    """5-D camera pose lattice (x, y, z, elev, azim) — reference :1940-1976."""
+
+    x_min: np.ndarray
+    x_max: np.ndarray
+    pose_l: int
+    pose_w: int
+    pose_h: int
+    pose_n_elev: int
+    pose_n_azim: int
+
+    def __post_init__(self):
+        self.x_min = np.asarray(self.x_min, np.float32)
+        self.x_max = np.asarray(self.x_max, np.float32)
+        self.steps = (self.x_max - self.x_min) / np.array(
+            [self.pose_l, self.pose_w, self.pose_h], np.float32)
+        self.dims = np.array(
+            [self.pose_l, self.pose_w, self.pose_h, self.pose_n_elev,
+             self.pose_n_azim], np.int64)
+        self.n_poses = int(np.prod(self.dims))
+
+    def pose_from_idx(self, idx):
+        """5-D pose values [x, y, z, elev_deg, azim_deg] for idx (..., 5)."""
+        idx = jnp.asarray(idx)
+        pos = jnp.asarray(self.x_min) + (idx[..., :3] + 0.5) * jnp.asarray(self.steps)
+        elev = -90.0 + 180.0 * (1 + idx[..., 3]) / (self.pose_n_elev + 1)
+        azim = 360.0 * idx[..., 4] / self.pose_n_azim
+        return jnp.concatenate(
+            (pos, elev[..., None], azim[..., None]), axis=-1
+        )
+
+    def flat_index(self, idx):
+        idx = np.asarray(idx)
+        f = 0
+        for k in range(5):
+            f = f * self.dims[k] + idx[..., k]
+        return f
+
+    def neighbors(self, idx):
+        """Neighbor pose indices with clamping/wrap (reference :2059-2084).
+
+        Returns (n, 5) int array (duplicates removed, non-translating removed).
+        """
+        idx = np.asarray(idx)
+        res = idx[None, :] + POSE_SHIFTS
+        res[:, 0] = np.clip(res[:, 0], 0, self.pose_l - 1)
+        res[:, 1] = np.clip(res[:, 1], 0, self.pose_w - 1)
+        res[:, 2] = np.clip(res[:, 2], 0, self.pose_h - 1)
+        res[:, 3] = np.clip(res[:, 3], 0, self.pose_n_elev - 1)
+        res[:, 4] = res[:, 4] % self.pose_n_azim
+        translating = np.abs(res[:, :3] - idx[None, :3]).sum(axis=1) > 0
+        res = res[translating]
+        return np.unique(res, axis=0)
+
+
+@dataclass
+class Camera:
+    """Host-side camera agent over a PoseSpace (reference Camera class).
+
+    Device math (pose->RT, fov tests, capture) lives in pure functions; this
+    object tracks the trajectory, pose history, and frame IO.
+    """
+
+    pose_space: PoseSpace
+    zfar: float
+    image_height: int
+    image_width: int
+    n_interpolation_steps: int = 1
+    contrast_factor: float = 1.0
+    gathering_factor: float = 0.05
+    occupied_poses: Optional[np.ndarray] = None  # (L, W, H) bool
+    save_dir_path: Optional[str] = None
+
+    def __post_init__(self):
+        self.cam_idx: Optional[np.ndarray] = None
+        self.X_cam = None
+        self.V_cam = None
+        self.fov_camera: Optional[FoVCamera] = None
+        self.fov_camera_0: Optional[FoVCamera] = None
+        self.cam_idx_history = []
+        self.X_cam_history = []
+        self.V_cam_history = []
+        self.pose_history = np.zeros(self.pose_space.n_poses, bool)
+        self.n_frames_captured = 0
+
+    # -- pose management ----------------------------------------------------
+    def fov_camera_from_pose(self, pose):
+        pose = jnp.asarray(pose).reshape(-1)
+        X_cam = pose[:3].reshape(1, 3)
+        V_cam = pose[3:].reshape(1, 2)
+        R, T = get_camera_RT(X_cam, V_cam)
+        return X_cam, V_cam, FoVCamera.create(R, T, zfar=self.zfar)
+
+    def initialize(self, start_cam_idx):
+        self.update_camera(np.asarray(start_cam_idx))
+        self.fov_camera_0 = self.fov_camera
+
+    def update_camera(self, new_cam_idx, interpolation_step: Optional[int] = None):
+        """Move (with pose interpolation + azimuth wrap, reference :2141-2183)."""
+        ps = self.pose_space
+        n_steps = self.n_interpolation_steps
+        if interpolation_step is None:
+            interpolation_step = n_steps
+        final = interpolation_step == n_steps
+
+        if self.cam_idx is None:
+            old_idx = np.asarray(new_cam_idx)
+        else:
+            old_idx = self.cam_idx
+        old_pose = np.asarray(ps.pose_from_idx(jnp.asarray(old_idx)))
+        new_pose = np.asarray(ps.pose_from_idx(jnp.asarray(new_cam_idx)))
+
+        offset_azim = 0.0
+        if not final:
+            if old_idx[4] == 0 and np.asarray(new_cam_idx)[4] == ps.pose_n_azim - 1:
+                offset_azim = -360.0
+            elif old_idx[4] == ps.pose_n_azim - 1 and np.asarray(new_cam_idx)[4] == 0:
+                offset_azim = 360.0
+
+        a = interpolation_step / n_steps
+        X = old_pose[:3] + (new_pose[:3] - old_pose[:3]) * a
+        V = old_pose[3:] + (new_pose[3:] - old_pose[3:]) * a
+        V[1] += offset_azim * a
+
+        if final:
+            self.cam_idx = np.asarray(new_cam_idx)
+            self.cam_idx_history.append(np.asarray(new_cam_idx))
+            self.pose_history[ps.flat_index(new_cam_idx)] = True
+
+        self.X_cam = jnp.asarray(X).reshape(1, 3)
+        self.V_cam = jnp.asarray(V).reshape(1, 2)
+        self.X_cam_history.append(np.asarray(self.X_cam))
+        self.V_cam_history.append(np.asarray(self.V_cam))
+        R, T = get_camera_RT(self.X_cam, self.V_cam)
+        self.fov_camera = FoVCamera.create(R, T, zfar=self.zfar)
+
+    def get_neighboring_poses(self, pose_idx=None):
+        if pose_idx is None:
+            pose_idx = self.cam_idx
+        return self.pose_space.neighbors(pose_idx)
+
+    def pose_is_occupied(self, pose_idx) -> bool:
+        if self.occupied_poses is None:
+            return False
+        i = np.asarray(pose_idx)
+        return bool(self.occupied_poses[i[0], i[1], i[2]])
+
+    def is_fov_empty(self, verts, fov_camera=None) -> bool:
+        """No mesh vertex in the field of view (reference :2266-2292)."""
+        cam = fov_camera if fov_camera is not None else self.fov_camera
+        mask = points_in_fov_mask(verts[None], cam, self.image_height,
+                                  self.image_width, fov_range=5 * self.zfar)
+        return not bool(mask.any())
+
+    def pose_is_valid(self, verts, pose_idx, proxy_points=None) -> bool:
+        if self.pose_is_occupied(pose_idx):
+            return False
+        pose = self.pose_space.pose_from_idx(jnp.asarray(pose_idx))
+        _, _, cam = self.fov_camera_from_pose(pose)
+        if self.is_fov_empty(verts, cam):
+            return False
+        if proxy_points is not None:
+            m = points_in_fov_mask(proxy_points[None], cam, self.image_height,
+                                   self.image_width, fov_range=5 * self.zfar)
+            if not bool(m.any()):
+                return False
+        return True
+
+    def get_valid_neighbors(self, neighbor_indices, verts):
+        """Valid unvisited neighbors; falls back to visited ones
+        (reference :2086-2115)."""
+        new_valid, visited = [], []
+        for idx in neighbor_indices:
+            if self.pose_history[self.pose_space.flat_index(idx)]:
+                visited.append(idx)
+            elif self.pose_is_valid(verts, idx):
+                new_valid.append(idx)
+        chosen = new_valid if new_valid else visited
+        return np.array(chosen).reshape(-1, 5)
+
+    def get_random_valid_pose(self, rs: np.random.Generator, verts,
+                              proxy_points=None, max_tries: int = 1000):
+        """Rejection-sample a valid start pose (reference :2019-2051)."""
+        ps = self.pose_space
+        for _ in range(max_tries):
+            idx = np.array([rs.integers(0, d) for d in ps.dims], np.int64)
+            if self.pose_is_valid(verts, idx, proxy_points=proxy_points):
+                return idx
+        raise RuntimeError("no valid pose found")
+
+    # -- capture ------------------------------------------------------------
+    def capture_image(self, verts, faces, vert_colors=None, fov_camera=None,
+                      lights: Optional[PointLights] = None,
+                      ambient_light_intensity: float = 1.0):
+        """Render RGB + zbuf from the current camera (reference :2294-2337).
+
+        Returns (images (1, H, W, 3), depth (1, H, W, 1), mask (1, H, W, 1)).
+        The frame dict (rgb, zbuf, mask, R, T, zfar) matches the reference's
+        saved frame schema; persistence is handled by scene.memory.
+        """
+        cam = fov_camera if fov_camera is not None else self.fov_camera
+        if lights is None:
+            # Reference capture uses AmbientLights (macarons_utils.py:715-719)
+            lights = PointLights.create(
+                jnp.zeros((1, 3)), ambient=ambient_light_intensity,
+                diffuse=0.0, specular=0.0,
+            )
+        images, frags = render_mesh(
+            verts, faces, cam, (self.image_height, self.image_width), lights,
+            vert_colors=vert_colors, background=1.0,
+        )
+        if self.contrast_factor != 1.0:
+            mean = jnp.mean(images, axis=(1, 2, 3), keepdims=True)
+            images = jnp.clip(mean + self.contrast_factor * (images - mean), 0, 1)
+        depth = frags.zbuf[..., None]
+        mask = depth > -1
+        self.n_frames_captured += 1
+        return images, depth, mask
