@@ -259,6 +259,9 @@ class Camera:
         images, frags = render_mesh(
             verts, faces, cam, (self.image_height, self.image_width), lights,
             vert_colors=vert_colors, background=1.0,
+            # PT3D picks perspective-correct interpolation for FoV cameras by
+            # default; the zbuf feeds carving/backprojection, so accuracy matters.
+            perspective_correct=True,
         )
         if self.contrast_factor != 1.0:
             mean = jnp.mean(images, axis=(1, 2, 3), keepdims=True)
