@@ -6,6 +6,10 @@ Usage: python initialize_cov.py -c configs/scone/coverage_gain/coverage_gain_pre
 import argparse
 import os
 
+from macarons_tpu.utils.platform import configure_platform
+
+configure_platform()
+
 from macarons_tpu.config import load_params
 from macarons_tpu.trainers.pretrain_vis import run_training
 

@@ -6,6 +6,10 @@ Usage: python initialize_occ.py -c configs/scone/occupancy/occupancy_pretraining
 import argparse
 import os
 
+from macarons_tpu.utils.platform import configure_platform
+
+configure_platform()
+
 from macarons_tpu.config import load_params
 from macarons_tpu.trainers.pretrain_occ import run_training
 

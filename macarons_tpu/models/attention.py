@@ -113,6 +113,7 @@ class Embedding(nn.Module):
             else:
                 masked = res
             g = jnp.max(masked, axis=-2, keepdims=True)
+            g = jnp.where(jnp.isfinite(g), g, 0.0)  # all-masked guard
             g = jnp.broadcast_to(g, res.shape)
             res = jnp.concatenate((res, g), axis=-1)
 
@@ -239,6 +240,7 @@ class PCTransformer(nn.Module):
         if pts_mask is not None:
             neg = jnp.where(pts_mask[..., None], x, -jnp.inf)
             mx = jnp.max(neg, axis=-2)
+            mx = jnp.where(jnp.isfinite(mx), mx, 0.0)  # all-masked guard
             denom = jnp.maximum(jnp.sum(pts_mask, axis=-1, keepdims=True), 1)
             av = jnp.sum(
                 jnp.where(pts_mask[..., None], x, 0.0), axis=-2

@@ -73,12 +73,22 @@ class SconeOcc(nn.Module):
         n_clouds, full_seq_len = pc.shape[0], pc.shape[1]
         n_sample = x.shape[1]
 
-        def subsample(k, length, total):
-            """Indices of a random `length`-subset of range(total)."""
-            if k is None or length >= total:
-                idx = jnp.arange(min(length, total))
-            else:
-                idx = jax.random.permutation(k, total)[:length]
+        def subsample(k, length, total, valid=None):
+            """Indices of a `length`-subset of range(total), valid-first.
+
+            With a validity mask, valid entries are always preferred over
+            padding (the reference subsamples a dense cloud; padded slots must
+            not crowd out real points)."""
+            if valid is None:
+                if k is None or length >= total:
+                    return jnp.arange(min(length, total))
+                return jax.random.permutation(k, total)[:length]
+            noise = (
+                jax.random.uniform(k, (total,)) if k is not None
+                else jnp.arange(total, dtype=jnp.float32) / total
+            )
+            scores = noise + jnp.where(valid, 0.0, 2.0)
+            _, idx = jax.lax.top_k(-scores, min(length, total))
             return idx
 
         keys = (
@@ -87,9 +97,17 @@ class SconeOcc(nn.Module):
         )
 
         # ----- global encoding (reference :267-278) -----
-        g_idx = subsample(keys[0], self.seq_len, full_seq_len)
-        global_pc = jnp.take(pc, g_idx, axis=1)
-        g_mask = jnp.take(pc_mask, g_idx, axis=1) if pc_mask is not None else None
+        if pc_mask is None:
+            g_idx = subsample(keys[0], self.seq_len, full_seq_len)
+            global_pc = jnp.take(pc, g_idx, axis=1)
+            g_mask = None
+        else:
+            # Per-item valid-first subsample (padding must not displace points)
+            g_idx = jax.vmap(
+                lambda m: subsample(keys[0], self.seq_len, full_seq_len, m)
+            )(pc_mask)
+            global_pc = jnp.take_along_axis(pc, g_idx[..., None], axis=1)
+            g_mask = jnp.take_along_axis(pc_mask, g_idx, axis=1)
         global_features = PCTransformer(
             pts_dim=self.pts_dim,
             pts_embedding_dim=self.pts_embedding_dim,
@@ -135,10 +153,16 @@ class SconeOcc(nn.Module):
 
             if n_t < self.n_scale - 1:
                 ds_len = max(down_pc.shape[1] // ds_factor, self.k_for_knn)
-                d_idx = subsample(keys[1 + n_t], ds_len, down_pc.shape[1])
-                down_pc = jnp.take(down_pc, d_idx, axis=1)
-                if down_mask is not None:
-                    down_mask = jnp.take(down_mask, d_idx, axis=1)
+                if down_mask is None:
+                    d_idx = subsample(keys[1 + n_t], ds_len, down_pc.shape[1])
+                    down_pc = jnp.take(down_pc, d_idx, axis=1)
+                else:
+                    d_idx = jax.vmap(
+                        lambda m: subsample(keys[1 + n_t], ds_len,
+                                            down_pc.shape[1], m)
+                    )(down_mask)
+                    down_pc = jnp.take_along_axis(down_pc, d_idx[..., None], axis=1)
+                    down_mask = jnp.take_along_axis(down_mask, d_idx, axis=1)
 
         local_features = (
             jnp.concatenate(local_feats, axis=-1)

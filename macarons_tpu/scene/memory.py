@@ -1,0 +1,186 @@
+"""On-disk experience replay store (host-side IO).
+
+Rebuilds the reference Memory (macarons_utils.py:3091-3457): per-scene
+directories `<scene>/macarons_memory/training/<traj>/` holding captured frames,
+predicted depths, and surface/occupancy scene snapshots. The on-disk layout is
+the self-supervision contract (frames are re-read for depth replay); files are
+.npz with the reference's dict keys. Device pipelines never block on this —
+reads/writes happen between jit steps on host.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .grid import GridState
+from .proxy import ProxyState
+
+
+class Memory:
+    """Replay store over one or more scene directories (reference :3091-3160)."""
+
+    def __init__(self, scene_memory_paths: List[str], current_epoch: int = 0,
+                 n_trajectories: int = 1):
+        self.scene_memory_paths = list(scene_memory_paths)
+        self.n_trajectories = n_trajectories
+        self.current_epoch = current_epoch
+        for path in self.scene_memory_paths:
+            for traj in range(n_trajectories):
+                for sub in ("frames", "depths", "surface", "occupancy", "poses"):
+                    os.makedirs(os.path.join(path, "training", str(traj), sub),
+                                exist_ok=True)
+
+    def current_trajectory(self) -> int:
+        return self.current_epoch % self.n_trajectories
+
+    # -- frames -------------------------------------------------------------
+    def frames_dir(self, scene_path: str, traj: Optional[int] = None) -> str:
+        t = self.current_trajectory() if traj is None else traj
+        return os.path.join(scene_path, "training", str(t), "frames")
+
+    def save_frame(self, scene_path: str, frame_nb: int, rgb, zbuf, mask, R, T,
+                   zfar, traj: Optional[int] = None):
+        """Frame schema matches the reference's saved dict (macarons_utils.py:2322-2333)."""
+        np.savez(
+            os.path.join(self.frames_dir(scene_path, traj), f"{frame_nb}.npz"),
+            rgb=np.asarray(rgb), zbuf=np.asarray(zbuf), mask=np.asarray(mask),
+            R=np.asarray(R), T=np.asarray(T), zfar=np.float32(zfar),
+        )
+
+    def load_frame(self, scene_path: str, frame_nb: int,
+                   traj: Optional[int] = None) -> Dict[str, np.ndarray]:
+        f = os.path.join(self.frames_dir(scene_path, traj), f"{frame_nb}.npz")
+        return dict(np.load(f))
+
+    def n_frames(self, scene_path: str, traj: Optional[int] = None) -> int:
+        d = self.frames_dir(scene_path, traj)
+        return len([f for f in os.listdir(d) if f.endswith(".npz")])
+
+    def load_frame_sequence(self, scene_path: str, last_frame_nb: int, n: int,
+                            traj: Optional[int] = None):
+        """Stack frames [last-n+1 .. last] (reference load_images_for_depth_model
+        :763-803). Returns dict of stacked arrays."""
+        frames = [self.load_frame(scene_path, last_frame_nb - n + 1 + i, traj)
+                  for i in range(n)]
+        return {
+            "images": np.concatenate([f["rgb"] for f in frames], axis=0),
+            "zbuf": np.concatenate([f["zbuf"] for f in frames], axis=0),
+            "mask": np.concatenate([f["mask"] for f in frames], axis=0),
+            "R": np.concatenate([f["R"] for f in frames], axis=0),
+            "T": np.concatenate([f["T"] for f in frames], axis=0),
+            "zfar": np.full((n,), float(frames[0]["zfar"]), np.float32),
+        }
+
+    # -- depths (predicted, for SCONE replay) --------------------------------
+    def save_depth(self, scene_path: str, frame_nb: int, depth, mask, error_mask,
+                   R, T, traj: Optional[int] = None):
+        t = self.current_trajectory() if traj is None else traj
+        np.savez(
+            os.path.join(scene_path, "training", str(t), "depths",
+                         f"{frame_nb}.npz"),
+            depth=np.asarray(depth), mask=np.asarray(mask),
+            error_mask=np.asarray(error_mask), R=np.asarray(R), T=np.asarray(T),
+        )
+
+    def load_depth(self, scene_path: str, frame_nb: int,
+                   traj: Optional[int] = None):
+        t = self.current_trajectory() if traj is None else traj
+        f = os.path.join(scene_path, "training", str(t), "depths",
+                         f"{frame_nb}.npz")
+        return dict(np.load(f))
+
+    def n_depths(self, scene_path: str, traj: Optional[int] = None) -> int:
+        t = self.current_trajectory() if traj is None else traj
+        d = os.path.join(scene_path, "training", str(t), "depths")
+        return len([f for f in os.listdir(d) if f.endswith(".npz")])
+
+    # -- scene snapshots ------------------------------------------------------
+    def save_surface_scene(self, scene_path: str, state: GridState,
+                           traj: Optional[int] = None, **scene_params):
+        t = self.current_trajectory() if traj is None else traj
+        np.savez(
+            os.path.join(scene_path, "training", str(t), "surface", "scene.npz"),
+            points=np.asarray(state.points), features=np.asarray(state.features),
+            valid=np.asarray(state.valid), **scene_params,
+        )
+
+    def load_surface_scene(self, scene_path: str, traj: Optional[int] = None):
+        t = self.current_trajectory() if traj is None else traj
+        d = dict(np.load(os.path.join(scene_path, "training", str(t), "surface",
+                                      "scene.npz")))
+        state = GridState(d.pop("points"), d.pop("features"), d.pop("valid"))
+        return state, d
+
+    def save_occupancy_field(self, scene_path: str, state: ProxyState,
+                             traj: Optional[int] = None, **scene_params):
+        t = self.current_trajectory() if traj is None else traj
+        np.savez(
+            os.path.join(scene_path, "training", str(t), "occupancy",
+                         "field.npz"),
+            **{k: np.asarray(v) for k, v in state._asdict().items()},
+            **scene_params,
+        )
+
+    def load_occupancy_field(self, scene_path: str, traj: Optional[int] = None):
+        t = self.current_trajectory() if traj is None else traj
+        d = dict(np.load(os.path.join(scene_path, "training", str(t),
+                                      "occupancy", "field.npz")))
+        fields = {k: d.pop(k) for k in list(ProxyState._fields)}
+        return ProxyState(**fields), d
+
+    def save_poses(self, scene_path: str, epoch: int, X_history, V_history,
+                   idx_history, traj: Optional[int] = None):
+        t = self.current_trajectory() if traj is None else traj
+        np.savez(
+            os.path.join(scene_path, "training", str(t), "poses",
+                         f"epoch_{epoch}.npz"),
+            X_cam=np.asarray(X_history), V_cam=np.asarray(V_history),
+            cam_idx=np.asarray(idx_history),
+        )
+
+    # -- replay sampling ------------------------------------------------------
+    def get_random_frames_for_depth(self, rs: np.random.Generator,
+                                    scene_path: str, n_needed: int,
+                                    exclude_traj: Optional[int] = None):
+        """Random past frame burst from any trajectory except the in-progress one
+        (the reference's 'APOCALYPSE' guard, macarons_utils.py:3272-3282).
+
+        Returns (traj, last_frame_nb) or None if nothing is replayable."""
+        candidates = []
+        for t in range(self.n_trajectories):
+            if exclude_traj is not None and t == exclude_traj:
+                continue
+            n = self.n_frames(scene_path, t)
+            if n >= n_needed:
+                candidates.append((t, n))
+        if not candidates:
+            return None
+        t, n = candidates[rs.integers(0, len(candidates))]
+        last = int(rs.integers(n_needed - 1, n))
+        return t, last
+
+    def get_random_scene_for_scone(self, rs: np.random.Generator,
+                                   scene_path: str, n_frames_needed: int,
+                                   exclude_traj: Optional[int] = None):
+        """Pick a trajectory with saved surface/occupancy snapshots + a random
+        depth sub-trajectory (reference get_random_scene_for_scone_model
+        :3324-3457). Returns (traj, depth_frame_numbers) or None."""
+        candidates = []
+        for t in range(self.n_trajectories):
+            if exclude_traj is not None and t == exclude_traj:
+                continue
+            surf = os.path.join(scene_path, "training", str(t), "surface",
+                                "scene.npz")
+            occf = os.path.join(scene_path, "training", str(t), "occupancy",
+                                "field.npz")
+            n_d = self.n_depths(scene_path, t)
+            if os.path.exists(surf) and os.path.exists(occf) and n_d >= n_frames_needed:
+                candidates.append((t, n_d))
+        if not candidates:
+            return None
+        t, n_d = candidates[rs.integers(0, len(candidates))]
+        start = int(rs.integers(0, n_d - n_frames_needed + 1))
+        return t, list(range(start, start + n_frames_needed))

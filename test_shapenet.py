@@ -6,6 +6,10 @@ Usage: python test_shapenet.py -c configs/test/test_on_shapenet_seen_categories_
 import argparse
 import os
 
+from macarons_tpu.utils.platform import configure_platform
+
+configure_platform()
+
 from macarons_tpu.config import load_params
 from macarons_tpu.testers.shapenet import run_test
 

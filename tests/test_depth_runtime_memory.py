@@ -1,0 +1,175 @@
+"""Depth runtime (apply_depth_model) + replay memory tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from macarons_tpu.models.many_depth import ManyDepth
+from macarons_tpu.scene import depth_runtime as DR
+from macarons_tpu.scene import memory as M
+from macarons_tpu.scene import camera as C
+from macarons_tpu.ops import geometry as geo
+from test_rasterizer import cube_mesh
+
+H, W = 64, 96
+CFG = DR.DepthBatchConfig(znear=0.5, zfar=20.0, data_augmentation=False,
+                          regularity_factor=0.01)
+
+
+def _capture_sequence(n=5):
+    verts, faces = cube_mesh(1.0)
+    ps = C.PoseSpace(np.array([-4.0, -4, -4]), np.array([4.0, 4, 4]),
+                     4, 4, 4, 3, 8)
+    cam = C.Camera(pose_space=ps, zfar=20.0, image_height=H, image_width=W,
+                   n_interpolation_steps=1)
+    rs = np.random.default_rng(0)
+    cam.initialize(cam.get_random_valid_pose(rs, verts))
+    frames = {"images": [], "zbuf": [], "mask": [], "R": [], "T": []}
+    for _ in range(n):
+        imgs, depth, mask = cam.capture_image(verts, faces)
+        frames["images"].append(np.asarray(imgs))
+        frames["zbuf"].append(np.asarray(depth))
+        frames["mask"].append(np.asarray(mask))
+        frames["R"].append(np.asarray(cam.fov_camera.R))
+        frames["T"].append(np.asarray(cam.fov_camera.T))
+        nbrs = cam.get_neighboring_poses()
+        valid = cam.get_valid_neighbors(nbrs, verts)
+        cam.update_camera(valid[rs.integers(0, len(valid))])
+    out = {k: np.concatenate(v, axis=0) for k, v in frames.items()}
+    out["zfar"] = np.full((n,), 20.0, np.float32)
+    return out
+
+
+@pytest.fixture(scope="module")
+def frame_seq():
+    return _capture_sequence(5)
+
+
+def test_create_batch_shapes(frame_seq):
+    batch, alpha = DR.create_batch_for_depth_model(CFG, frame_seq,
+                                                   mode="inference")
+    B = 5 - CFG.n_alpha
+    assert batch["images"].shape == (B, H, W, 3)
+    assert alpha["images"].shape == (B, 2, H, W, 3)
+    # alpha frames are the two previous frames
+    np.testing.assert_array_equal(
+        np.asarray(alpha["images"][1, 1]), frame_seq["images"][2])
+    np.testing.assert_array_equal(
+        np.asarray(alpha["images"][1, 0]), frame_seq["images"][1])
+
+
+def test_apply_depth_model_losses(frame_seq):
+    batch, alpha = DR.create_batch_for_depth_model(CFG, frame_seq,
+                                                   mode="supervision")
+    model = ManyDepth(input_height=H, input_width=W, d_min=0.5, d_max=20.0,
+                      n_depth=8)
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["images"], alpha["images"][:, :2],
+        batch["R"], batch["T"], gt_pose=jnp.zeros((batch["R"].shape[0], 2, 6)),
+    )
+    run = DR.make_apply_depth_fn(model, CFG, compute_loss=True)
+    loss, depth, mask, err_mask, pose, gt_pose, _ = run(
+        variables, batch, alpha, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    assert depth.shape == (3, H, W, 1)
+    d = np.asarray(depth)
+    assert d.min() >= 0.5 - 1e-5 and d.max() <= 20.0 + 1e-5
+    assert err_mask.dtype == bool and 0 < np.asarray(err_mask).mean() <= 1.0
+    # gt_pose roundtrip: with learn_pose=False the returned pose is gt_pose
+    np.testing.assert_allclose(np.asarray(pose), np.asarray(gt_pose)[:, :2],
+                               atol=1e-6)
+
+
+def test_perfect_depth_bypass(frame_seq):
+    batch, alpha = DR.create_batch_for_depth_model(CFG, frame_seq,
+                                                   mode="supervision")
+    model = ManyDepth(input_height=H, input_width=W, d_min=0.5, d_max=20.0,
+                      n_depth=8)
+    run = DR.make_apply_depth_fn(model, CFG, compute_loss=False,
+                                 use_perfect_depth=True)
+    _, depth, mask, err, pose, gt, _ = run({}, batch, alpha,
+                                           jax.random.PRNGKey(0))
+    # Depth equals the clamped GT zbuf
+    np.testing.assert_allclose(
+        np.asarray(depth), np.clip(np.asarray(batch["zbuf"]), 0.5, 20.0),
+        atol=1e-6)
+
+
+def test_symmetry_conjugation_consistency(frame_seq):
+    """Flipped pose must reproject the flipped image consistently: check that
+    F R F is a valid rotation and camera center x is mirrored."""
+    R = jnp.asarray(frame_seq["R"][:1])
+    T = jnp.asarray(frame_seq["T"][:1])
+    x = jnp.asarray(frame_seq["images"][:1])
+    fx, fR, fT, _ = DR.apply_symmetry(x, R, T)
+    I = np.asarray(fR[0] @ fR[0].T)
+    np.testing.assert_allclose(I, np.eye(3), atol=1e-5)
+    C0 = np.asarray(geo.camera_center_from_RT(R, T))[0]
+    C1 = np.asarray(geo.camera_center_from_RT(fR, fT))[0]
+    np.testing.assert_allclose(C1, C0 * np.array([-1, 1, 1]), atol=1e-5)
+
+
+def test_jitter_preserves_range():
+    x = jnp.array(np.random.default_rng(0).uniform(0, 1, (1, 8, 8, 3)),
+                  jnp.float32)
+    y = DR.adjust_image(x, 1.2, 0.9, 1.1, 0.03)
+    y = np.asarray(y)
+    assert y.min() >= 0 and y.max() <= 1
+
+
+def test_memory_roundtrip(tmp_path, frame_seq):
+    mem = M.Memory([str(tmp_path / "scene")], n_trajectories=2)
+    sp = str(tmp_path / "scene")
+    for i in range(5):
+        mem.save_frame(sp, i, frame_seq["images"][i : i + 1],
+                       frame_seq["zbuf"][i : i + 1],
+                       frame_seq["mask"][i : i + 1], frame_seq["R"][i : i + 1],
+                       frame_seq["T"][i : i + 1], 20.0)
+    assert mem.n_frames(sp) == 5
+    seq = mem.load_frame_sequence(sp, 4, 3)
+    assert seq["images"].shape == (3, H, W, 3)
+    np.testing.assert_array_equal(seq["images"][0], frame_seq["images"][2])
+
+    # Replay sampling: excludes the in-progress trajectory
+    rs = np.random.default_rng(0)
+    got = mem.get_random_frames_for_depth(rs, sp, 3, exclude_traj=0)
+    assert got is None  # only traj 0 has frames
+    got = mem.get_random_frames_for_depth(rs, sp, 3, exclude_traj=1)
+    assert got is not None and got[0] == 0 and got[1] >= 2
+
+    # Scene snapshots
+    from macarons_tpu.scene.grid import GridState
+    from macarons_tpu.scene.proxy import initialize_proxy_points
+
+    gs = GridState(np.zeros((4, 8, 3)), np.zeros((4, 8, 1)),
+                   np.ones((4, 8), bool))
+    mem.save_surface_scene(sp, gs, x_min=np.array([-1.0, -1, -1]))
+    loaded, params = mem.load_surface_scene(sp)
+    np.testing.assert_array_equal(loaded.valid, gs.valid)
+    np.testing.assert_array_equal(params["x_min"], [-1, -1, -1])
+
+    prox = initialize_proxy_points(jax.random.PRNGKey(0), [-1] * 3, [1] * 3, 50)
+    mem.save_occupancy_field(sp, prox)
+    loaded_prox, _ = mem.load_occupancy_field(sp)
+    np.testing.assert_array_equal(loaded_prox.points, np.asarray(prox.points))
+
+
+def test_macarons_bundle(tmp_path):
+    from macarons_tpu.config import Params
+    from macarons_tpu.models import macarons as MM
+
+    params = Params({
+        "image_height": H, "image_width": W, "znear": 0.5, "zfar": 20.0,
+        "n_depth": 8, "seq_len": 64, "learning_rate": 1e-4,
+    })
+    model = MM.create_macarons_model(params)
+    variables = MM.init_macarons_variables(params, model, jax.random.PRNGKey(0))
+    opt = MM.create_macarons_optimizer(params, variables)
+    path = str(tmp_path / "macarons_ckpt")
+    MM.save_macarons(path, variables, {"epoch": 3}, optimizer=opt)
+    v2, opt2, meta = MM.load_macarons(path, variables, optimizer=opt)
+    assert meta["epoch"] == 3
+    a = jax.tree_util.tree_leaves(variables.vis)[0]
+    b = jax.tree_util.tree_leaves(v2.vis)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -1,0 +1,157 @@
+"""Per-cell occupancy inference + fused batched NBV scoring on a cube scene."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from macarons_tpu.models.scone import SconeOcc, SconeVis
+from macarons_tpu.ops.geometry import FoVCamera, look_at_view_transform
+from macarons_tpu.ops.projection import (
+    project_depth_back_to_3D,
+    points_in_fov_mask,
+    signed_distance_to_depth_maps,
+)
+from macarons_tpu.scene import camera as C, grid as G, proxy as P
+from macarons_tpu.scene import runtime as R
+from test_rasterizer import cube_mesh
+
+
+@pytest.fixture(scope="module")
+def scene_setup():
+    verts, faces = cube_mesh(1.0)
+    ps = C.PoseSpace(np.array([-4.0, -4, -4]), np.array([4.0, 4, 4]),
+                     4, 4, 4, 3, 8)
+    cam = C.Camera(pose_space=ps, zfar=20.0, image_height=48, image_width=64,
+                   n_interpolation_steps=1)
+    rs = np.random.default_rng(0)
+    cam.initialize(cam.get_random_valid_pose(rs, verts))
+
+    cfg = G.make_grid_config((-1.2,) * 3, (1.2,) * 3, 3, 3, 3,
+                             resolution=0.08, feature_dim=1)
+    surface = G.empty_grid(cfg)
+    prox = P.initialize_proxy_points(jax.random.PRNGKey(0), (-1.2,) * 3,
+                                     (1.2,) * 3, 2000)
+    key = jax.random.PRNGKey(1)
+    for _ in range(4):
+        _, depth, mask = cam.capture_image(verts, faces)
+        pts, pmask = project_depth_back_to_3D(depth, cam.fov_camera)
+        key, k = jax.random.split(key)
+        surface = G.fill_cells(cfg, surface, k, pts[0],
+                               pmask[0] & (depth.reshape(1, -1)[0] > 0))
+        fov = points_in_fov_mask(prox.points[None], cam.fov_camera, 48, 64)[0]
+        sd = signed_distance_to_depth_maps(prox.points, depth, mask,
+                                           cam.fov_camera, 20.0)[0]
+        prox = P.update_out_of_field(prox, fov)
+        prox = P.update_supervision_occ(prox, fov, sd)
+        prox = P.update_view_states(prox, cam.X_cam, fov, 7, 14)
+        nbrs = cam.get_neighboring_poses()
+        valid = cam.get_valid_neighbors(nbrs, verts)
+        cam.update_camera(valid[rs.integers(0, len(valid))])
+    return verts, faces, cam, cfg, surface, prox
+
+
+def test_cell_index_table(scene_setup):
+    _, _, cam, cfg, surface, prox = scene_setup
+    table = R.build_cell_index_table(cfg, np.asarray(prox.points))
+    assert table.proxy_slots.shape[0] == cfg.n_cells
+    assert table.neighbor_ids.shape == (cfg.n_cells, 27)
+    # Every proxy appears exactly once
+    flat = table.proxy_slots[table.proxy_slot_mask]
+    assert len(np.unique(flat)) == len(flat) == 2000
+    # Center cell of a 3x3x3 grid has 27 distinct neighbors
+    mid = (1 * 3 + 1) * 3 + 1
+    assert len(np.unique(table.neighbor_ids[mid])) == 27
+
+
+def test_occupancy_field_inference(scene_setup):
+    _, _, cam, cfg, surface, prox = scene_setup
+    occ_model = SconeOcc(seq_len=256, n_scale=3, k_for_knn=8,
+                         pts_embedding_dim=32, global_feature_dim=64,
+                         local_feature_dim=32, x_embedding_dim=64, n_code=1,
+                         n_heads=2)
+    table = R.build_cell_index_table(cfg, np.asarray(prox.points))
+    occ_vars = occ_model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 3)), jnp.zeros((1, 8, 3)),
+        jnp.zeros((1, 8, 64)),
+    )
+    run = R.make_occupancy_field_fn(occ_model, cfg, table, k_for_knn=8,
+                                    max_cells=8, cell_batch=2)
+    proba, pred_mask, harmonics = run(
+        occ_vars, prox, surface, cam.fov_camera_0, jax.random.PRNGKey(1)
+    )
+    proba, pred_mask = np.asarray(proba), np.asarray(pred_mask)
+    assert proba.shape == (2000, 1) and harmonics.shape == (2000, 64)
+    assert np.isfinite(proba).all()
+    assert pred_mask.sum() > 0
+    # Only eligible (in-field, not carved-empty) proxies receive predictions
+    eligible = (np.asarray(prox.supervision_occ)[:, 0] > 0) & (
+        np.asarray(prox.out_of_field)[:, 0] < 1)
+    assert not np.any(pred_mask & ~eligible)
+    # Non-predicted points have zero proba in the output
+    assert np.all(proba[~pred_mask] == 0)
+
+    # Supervision mode: random cell subset, still consistent
+    proba2, mask2, _ = run(occ_vars, prox, surface, cam.fov_camera_0,
+                           jax.random.PRNGKey(2), supervision=True)
+    assert np.asarray(mask2).sum() > 0
+
+
+def test_fused_nbv_scoring(scene_setup):
+    _, _, cam, cfg, surface, prox = scene_setup
+    vis_model = SconeVis(pts_embedding_dim=32, n_code=1, n_heads=2)
+    vis_vars = vis_model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 128, 4)), jnp.zeros((1, 128, 64)),
+    )
+    # Use supervision occupancy as the field (warmup-phase bypass)
+    X_world = prox.points
+    harmonics = jnp.zeros((2000, 64))
+    occ = prox.supervision_occ
+    valid = prox.out_of_field[:, 0] < 1
+
+    # Candidates: neighbor poses of the current camera
+    nbrs = cam.get_neighboring_poses()[:6]
+    poses = cam.pose_space.pose_from_idx(jnp.asarray(nbrs))
+    X_cand = poses[:, :3]
+    R_c, T_c = C.get_camera_RT(X_cand, poses[:, 3:])
+    cand_cams = FoVCamera.create(R_c, T_c, zfar=20.0)
+
+    score = R.make_coverage_gain_fn(vis_model, seq_len=128, image_height=48,
+                                    image_width=64, min_occ=0.1)
+    gains = score(
+        vis_vars, X_world, harmonics, occ, valid, cand_cams, X_cand,
+        cam.fov_camera_0, box_diag=float(np.linalg.norm([2.4, 2.4, 2.4])),
+        cell_resolution=cfg.resolution, sensor_range=22.0,
+        key=jax.random.PRNGKey(3),
+    )
+    gains = np.asarray(gains)
+    assert gains.shape == (6,)
+    assert np.isfinite(gains).all()
+    assert (gains >= 0).all()
+    assert gains.max() > 0  # someone sees occupied proxies
+
+    # A camera pointing away from the scene must score zero
+    R_away, T_away = look_at_view_transform(eye=jnp.array([[100.0, 0, 0]]),
+                                            at=jnp.array([[200.0, 0, 0]]))
+    away = FoVCamera.create(R_away, T_away, zfar=20.0)
+    g0 = score(
+        vis_vars, X_world, harmonics, occ, valid, away,
+        jnp.array([[100.0, 0, 0]]), cam.fov_camera_0,
+        box_diag=4.0, cell_resolution=cfg.resolution, sensor_range=22.0,
+        key=jax.random.PRNGKey(4),
+    )
+    assert float(np.asarray(g0)[0]) == 0.0
+
+
+def test_distance_factor_modes():
+    pts = jnp.array([[0.0, 0, 1], [0, 0, 10], [0, 0, 100]])
+    X_cam = jnp.zeros(3)
+    df = np.asarray(R.distance_factor(pts, X_cam, 60.0, 256, 456, 0.05))
+    assert df[0] == 1.0
+    assert df[2] < df[1] <= 1.0
+    df_th = np.asarray(R.distance_factor(pts, X_cam, 60.0, 256, 456, 0.05,
+                                         distance_th=5.0))
+    np.testing.assert_allclose(df_th, [1.0, 25 / 100, 25 / 10000], atol=1e-6)
+    df_s = np.asarray(R.distance_factor(pts, X_cam, 60.0, 256, 456, 0.05,
+                                        mode="smooth"))
+    assert np.all(np.diff(df_s) < 0)
