@@ -36,6 +36,8 @@ def load_obj(path: str) -> Mesh:
                 idx = [int(p.split("/")[0]) - 1 for p in line.split()[1:]]
                 for k in range(1, len(idx) - 1):  # fan triangulation
                     faces.append([idx[0], idx[k], idx[k + 1]])
+    if not verts or not faces:
+        raise ValueError(f"{path}: no vertices/faces found (empty or non-OBJ file)")
     return Mesh(
         np.asarray(verts, np.float32),
         np.asarray(faces, np.int32),

@@ -59,12 +59,32 @@ class Memory:
         d = self.frames_dir(scene_path, traj)
         return len([f for f in os.listdir(d) if f.endswith(".npz")])
 
+    _loader = None
+
+    @classmethod
+    def _async_loader(cls):
+        if cls._loader is None:
+            from ..utils.native_loader import AsyncLoader
+
+            cls._loader = AsyncLoader(n_threads=4)
+        return cls._loader
+
     def load_frame_sequence(self, scene_path: str, last_frame_nb: int, n: int,
                             traj: Optional[int] = None):
         """Stack frames [last-n+1 .. last] (reference load_images_for_depth_model
-        :763-803). Returns dict of stacked arrays."""
-        frames = [self.load_frame(scene_path, last_frame_nb - n + 1 + i, traj)
-                  for i in range(n)]
+        :763-803). Returns dict of stacked arrays.
+
+        All n files are prefetched concurrently through the native async loader
+        (IO overlaps and parallelizes instead of the reference's serial reads).
+        """
+        from ..utils.native_loader import prefetch_npz, take_npz
+
+        loader = self._async_loader()
+        d = self.frames_dir(scene_path, traj)
+        paths = [os.path.join(d, f"{last_frame_nb - n + 1 + i}.npz")
+                 for i in range(n)]
+        jobs = prefetch_npz(loader, paths)
+        frames = [take_npz(loader, j) for j in jobs]
         return {
             "images": np.concatenate([f["rgb"] for f in frames], axis=0),
             "zbuf": np.concatenate([f["zbuf"] for f in frames], axis=0),
