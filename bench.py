@@ -74,6 +74,34 @@ def main():
     log(f"fused: {fused_dt * 1e3:.2f} ms/52 cands -> {fused_rate:.0f} evals/s")
     log(f"sequential: {seq_dt * 1e3:.2f} ms/52 cands -> {seq_rate:.0f} evals/s")
 
+    # --- secondary: depth FPS at reference scale (stderr diagnostic) ---------
+    try:
+        from macarons_tpu.models.many_depth import ManyDepth
+
+        dm = ManyDepth()
+        kk = jax.random.split(jax.random.PRNGKey(1), 4)
+        x = jax.random.uniform(kk[0], (1, 256, 456, 3))
+        xa = jax.random.uniform(kk[1], (1, 2, 256, 456, 3))
+        R = jnp.eye(3)[None]
+        T = jnp.zeros((1, 3))
+        gt_pose = jnp.zeros((1, 2, 6))
+        dvars = jax.jit(dm.init)(kk[2], x, xa, R, T, gt_pose=gt_pose)
+
+        @jax.jit
+        def depth_fwd(v, x, xa, R, T, gp):
+            return dm.apply(v, x, xa, R, T, gt_pose=gp)[1]
+
+        depth_fwd(dvars, x, xa, R, T, gt_pose).block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(10):
+            out = depth_fwd(dvars, x, xa, R, T, gt_pose)
+        out.block_until_ready()
+        dt = (time.perf_counter() - t0) / 10
+        log(f"depth forward (256x456, 96 planes): {dt * 1e3:.1f} ms -> "
+            f"{1.0 / dt:.1f} FPS")
+    except Exception as e:  # diagnostics must never break the headline metric
+        log("depth FPS measurement failed:", repr(e))
+
     print(json.dumps({
         "metric": "nbv_candidate_evals_per_sec",
         "value": round(fused_rate, 1),

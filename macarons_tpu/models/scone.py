@@ -256,6 +256,42 @@ class SconeVis(nn.Module):
         return res
 
 
+def compute_occupancy_probability(occ_model, variables, pc, X, view_harmonics,
+                                  key=None, pc_mask=None,
+                                  max_points_per_pass: int = 20000):
+    """Chunked SconeOcc inference over many query points.
+
+    Mirrors reference scone_utils.py:965-998 / macarons_utils.py:1194-1230:
+    the query set is processed in fixed chunks so the kNN distance matrix
+    (n_queries x seq_len) never materializes at full size. Chunking uses
+    lax.map, so the per-chunk program compiles once.
+
+    pc (B, L, 3); X (B, S, 3); view_harmonics (B, S, H) -> (B, S, 1).
+    """
+    B, S = X.shape[0], X.shape[1]
+    chunk = min(max_points_per_pass // max(B, 1), S)
+    chunk = max(chunk, 1)
+    pad = (-S) % chunk
+    if pad:
+        X = jnp.concatenate([X, jnp.zeros((B, pad, 3), X.dtype)], axis=1)
+        view_harmonics = jnp.concatenate(
+            [view_harmonics,
+             jnp.zeros((B, pad, view_harmonics.shape[-1]), view_harmonics.dtype)],
+            axis=1)
+    n_chunks = X.shape[1] // chunk
+    Xc = jnp.moveaxis(X.reshape(B, n_chunks, chunk, 3), 1, 0)
+    Vc = jnp.moveaxis(
+        view_harmonics.reshape(B, n_chunks, chunk, -1), 1, 0)
+
+    def one(args):
+        x, vh = args
+        return occ_model.apply(variables, pc, x, vh, key=key, pc_mask=pc_mask)
+
+    out = jax.lax.map(one, (Xc, Vc))  # (n_chunks, B, chunk, 1)
+    out = jnp.moveaxis(out, 0, 1).reshape(B, n_chunks * chunk, -1)
+    return out[:, :S]
+
+
 # ---------------------------------------------------------------------------
 # Fused batched coverage-gain evaluation (the NBV hot path)
 # ---------------------------------------------------------------------------

@@ -22,7 +22,12 @@ import numpy as np
 
 from ..config import Params
 from ..data import datasets as D
-from ..models.scone import SconeOcc, SconeVis, compute_coverage_gain
+from ..models.scone import (
+    SconeOcc,
+    SconeVis,
+    compute_coverage_gain,
+    compute_occupancy_probability,
+)
 from ..ops.geometry import FoVCamera, look_at_view_transform
 from ..ops.view_state import (
     compute_view_harmonics,
@@ -135,8 +140,12 @@ def make_nbv_trajectory_fn(params: Params, occ_model: SconeOcc,
             occ_vh = jnp.where(occ_no_vh, 0.0, vh)
             vis_vh = jnp.where(no_vh, 0.0, vh)
 
-            occ = occ_model.apply(occ_vars, pc[None], X_proxy[None], occ_vh,
-                                  key=k_occ, pc_mask=pc_mask[None])[0]
+            occ = compute_occupancy_probability(
+                occ_model, occ_vars, pc[None], X_proxy[None], occ_vh,
+                key=k_occ, pc_mask=pc_mask[None],
+                max_points_per_pass=params.get("max_points_per_scone_occ_pass",
+                                               300000),
+            )[0]
 
             pts4, harm, _, smask = sample_proxy_points(
                 k_sample, X_proxy, occ, vis_vh[0], seq_len, min_occ,

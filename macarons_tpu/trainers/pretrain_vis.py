@@ -27,7 +27,12 @@ from flax.training import train_state
 from ..config import Params
 from ..data import datasets as D
 from ..models import losses as L
-from ..models.scone import SconeOcc, SconeVis, compute_coverage_gain
+from ..models.scone import (
+    SconeOcc,
+    SconeVis,
+    compute_coverage_gain,
+    compute_occupancy_probability,
+)
 from ..ops.geometry import FoVCamera, look_at_view_transform
 from ..ops.view_state import (
     compute_view_harmonics,
@@ -144,8 +149,12 @@ def make_vis_step(params: Params, occ_model: SconeOcc, vis_model: SconeVis,
         occ_vh = jnp.where(occ_no_vh, 0.0, vh)
         vis_vh = jnp.where(no_vh, 0.0, vh)
 
-        occ = occ_model.apply(occ_variables, pc_n[None], X[None], occ_vh,
-                              key=k_occ, pc_mask=pc_mask[None])[0]
+        occ = compute_occupancy_probability(
+            occ_model, occ_variables, pc_n[None], X[None], occ_vh,
+            key=k_occ, pc_mask=pc_mask[None],
+            max_points_per_pass=params.get("max_points_per_scone_occ_pass",
+                                           300000),
+        )[0]
         occ = jax.lax.stop_gradient(occ)
 
         pts4, harm, idx, smask = sample_proxy_points(

@@ -133,7 +133,12 @@ def setup_scene(params: Params, scene_item: Dict, key,
         feature_dim=1,
     )
 
-    k_gt, k_px, k_fill = jax.random.split(key, 3)
+    k_gt, _, k_fill = jax.random.split(key, 3)
+    # Proxy positions are deterministic per scene (name-seeded): saved memory
+    # snapshots stay layout-compatible across epochs/trajectories and the
+    # per-cell occupancy program never recompiles for the same scene.
+    k_px = jax.random.PRNGKey(
+        abs(hash(("proxy", scene_item["scene_name"]))) % (2**31))
     gt_pts = sample_points_on_mesh_surface(
         k_gt, jnp.asarray(mesh.verts), jnp.asarray(mesh.faces),
         params.get("n_gt_surface_points", 16384),
@@ -507,6 +512,103 @@ def memory_depth_loop(rt: MacaronsRuntime, memory: Memory, memory_path: str,
     return variables, opt_states, float(loss), key
 
 
+def memory_scone_loop(rt: MacaronsRuntime, scene: SceneState, memory: Memory,
+                      memory_path: str, variables: MacaronsVariables,
+                      opt_states: Dict, key, rs: np.random.Generator,
+                      n_replay_frames: int = 4):
+    """SCONE replay on a saved trajectory (reference memory_scene_loop :576-780).
+
+    Rebuilds a replay world from saved predicted depth maps of another
+    trajectory of the SAME scene (proxy layout is name-seeded, so the saved
+    snapshots and the current cell tables are layout-compatible), then runs one
+    scone supervision step with the depth module untouched.
+    """
+    params = rt.params
+    got = memory.get_random_scene_for_scone(
+        rs, memory_path, n_replay_frames,
+        exclude_traj=memory.current_trajectory())
+    if got is None:
+        return variables, opt_states, None, key
+    traj, frame_nbs = got
+
+    # Fresh replay state over the same proxy layout
+    replay_surface = G.empty_grid(scene.cfg)
+    replay_proxy = P.reset_supervision_occ(scene.proxy)._replace(
+        view_states=jnp.zeros_like(scene.proxy.view_states),
+        out_of_field=jnp.ones_like(scene.proxy.out_of_field),
+    )
+
+    depths, masks, errs, Rs, Ts = [], [], [], [], []
+    for nb in frame_nbs:
+        d = memory.load_depth(memory_path, nb, traj)
+        depths.append(d["depth"])
+        masks.append(d["mask"])
+        errs.append(d["error_mask"])
+        Rs.append(d["R"])
+        Ts.append(d["T"])
+    depth = jnp.concatenate([jnp.asarray(d) for d in depths], axis=0)
+    mask = jnp.concatenate([jnp.asarray(m) for m in masks], axis=0)
+    err = jnp.concatenate([jnp.asarray(e) for e in errs], axis=0)
+    R_b = jnp.concatenate([jnp.asarray(r) for r in Rs], axis=0)
+    T_b = jnp.concatenate([jnp.asarray(t) for t in Ts], axis=0)
+
+    replay_scene = SceneState(
+        name=scene.name, mesh=scene.mesh, settings=scene.settings,
+        cfg=scene.cfg, gt_scene=scene.gt_scene, surface_scene=replay_surface,
+        proxy=replay_proxy, cell_table=scene.cell_table, camera=scene.camera,
+        proxy_distance=scene.proxy_distance,
+    )
+    part_pcs, key = mapping_update(
+        rt, replay_scene, depth, mask, err, R_b, T_b, key,
+        carving_tolerance=params.get("carving_tolerance", 0.0),
+        score_threshold=params.get("score_threshold", 1.0))
+
+    # Close-to-surface mask + pseudo-GT gains from the replayed world
+    surface_distance = 3 * scene.proxy_distance
+    close_mask = jnp.zeros((replay_scene.proxy.points.shape[0],), bool)
+    sup_gains = np.zeros((depth.shape[0],), np.float32)
+    replay_scene.surface_scene = replay_scene.surface_scene._replace(
+        features=jnp.zeros_like(replay_scene.surface_scene.features))
+    for i in range(depth.shape[0]):
+        cam_i = FoVCamera.create(R_b[i : i + 1], T_b[i : i + 1],
+                                 zfar=rt.dcfg.zfar)
+        fov = points_in_fov_mask(replay_scene.proxy.points[None], cam_i, rt.H,
+                                 rt.W, fov_range=rt.sensor_range)[0]
+        sd = signed_distance_to_depth_maps(
+            replay_scene.proxy.points, depth[i : i + 1], mask[i : i + 1],
+            cam_i, rt.dcfg.zfar)[0]
+        close_mask = close_mask | (fov & (jnp.abs(sd[:, 0]) < surface_distance))
+    for i, (pc, valid) in enumerate(part_pcs):
+        gain, replay_scene.surface_scene = G.camera_coverage_gain(
+            replay_scene.cfg, replay_scene.surface_scene, pc, valid,
+            surface_epsilon=params.get("surface_epsilon"))
+        sup_gains[i] = float(gain)
+
+    prediction_camera = FoVCamera.create(R_b[:1], T_b[:1], zfar=rt.dcfg.zfar)
+    key, k_occ = jax.random.split(key)
+    proba, pred_mask, harmonics = rt.occupancy_field(
+        variables.occ, replay_scene.proxy, replay_scene.surface_scene,
+        prediction_camera, k_occ)
+    field = R.assemble_scene_field(replay_scene.proxy, proba, pred_mask,
+                                   harmonics)
+    close_mask = close_mask & (replay_scene.proxy.out_of_field[:, 0] < 1.0)
+    visited_cams = FoVCamera.create(R_b, T_b, zfar=rt.dcfg.zfar)
+    visited_X = visited_cams.camera_center()
+    box_diag = float(np.linalg.norm(
+        np.asarray(scene.cfg.x_max) - np.asarray(scene.cfg.x_min)))
+    key, k = jax.random.split(key)
+    (occ_vars, vis_vars, opt_states["scone"], scone_loss, occ_loss,
+     cov_loss) = rt.scone_train_step(
+        variables.occ, variables.vis, opt_states["scone"], replay_scene.proxy,
+        replay_scene.surface_scene, prediction_camera, close_mask,
+        visited_cams, visited_X, jnp.asarray(sup_gains), field, k,
+        n_supervision=params.get("n_proxy_point_for_occupancy_supervision",
+                                 6000),
+        box_diag=box_diag, cell_resolution=scene.cfg.resolution)
+    variables = variables._replace(occ=occ_vars, vis=vis_vars)
+    return variables, opt_states, float(scone_loss), key
+
+
 def recompute_mapping(rt: MacaronsRuntime, scene: SceneState, memory: Memory,
                       memory_path: str, variables: MacaronsVariables, key,
                       save_depths: bool = True):
@@ -579,6 +681,13 @@ def run_trajectory(rt: MacaronsRuntime, scene: SceneState, memory: Memory,
         for _ in range(n_memory_loops):
             variables, opt_states, mem_loss, key = memory_depth_loop(
                 rt, memory, memory_path, variables, opt_states, key, rs)
+
+        if online_learning and not freeze_scone:
+            for _ in range(params.get("n_memory_scene_loops", 0)):
+                variables, opt_states, _, key = memory_scone_loop(
+                    rt, scene, memory, memory_path, variables, opt_states,
+                    key, rs,
+                    n_replay_frames=rt.n_interpolation_steps)
 
         if remap_at is not None and pose_i == remap_at:
             key = recompute_mapping(rt, scene, memory, memory_path, variables,
