@@ -48,6 +48,23 @@ def knn_points(x, pc, k: int, precision=_HI):
     return knn_gather(pc, idx), dists, idx
 
 
+def get_k_nearest_ray_points(X_camera, X, pc, k: int, precision=_HI):
+    """For each point of X, the k points in pc whose camera rays align best.
+
+    Mirrors reference utils.py:1512-1532 (dot products of normalized ray
+    bundles, top-k). X_camera (n_cam, 3); X (n_cam, S, 3); pc (n_cam, L, 3).
+    Returns (gathered (n_cam, S, k, 3), dots (n_cam, S, k), idx)."""
+    X_cam = X_camera[:, None, :]
+    rays = pc - X_cam
+    rays = rays / jnp.maximum(jnp.linalg.norm(rays, axis=-1, keepdims=True), 1e-12)
+    x_rays = X - X_cam
+    x_rays = x_rays / jnp.maximum(
+        jnp.linalg.norm(x_rays, axis=-1, keepdims=True), 1e-12)
+    dots = jnp.einsum("bsd,bld->bsl", x_rays, rays, precision=precision)
+    top, idx = jax.lax.top_k(dots, k)
+    return knn_gather(pc, idx), top, idx
+
+
 def knn_points_masked(x, pc, k: int, pc_mask=None, x_mask=None, precision=_HI,
                       big: float = 1e10):
     """kNN with validity masks for fixed-shape padded point sets.

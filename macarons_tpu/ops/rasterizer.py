@@ -138,6 +138,140 @@ def _rasterize_single(verts_proj, faces, image_size, chunk: int,
     return Fragments(pix_to_face, zbuf, bary)
 
 
+@partial(jax.jit, static_argnames=("image_size", "tile", "max_faces_per_tile",
+                                   "perspective_correct", "tile_batch"))
+def _rasterize_single_binned(verts_proj, faces, image_size, tile: int,
+                             max_faces_per_tile: int,
+                             perspective_correct: bool, face_mask=None,
+                             tile_batch: int = 32, eps: float = 1e-8):
+    """Tile-binned rasterization: O(F*T + T*K*tile^2) instead of O(F*H*W).
+
+    Faces are binned to the screen tiles their NDC bbox overlaps (top-K per
+    tile, smallest face index first — overflow beyond max_faces_per_tile is
+    dropped, so size K generously for dense meshes); each tile then rasterizes
+    only its own K faces. This is the production path for capture/GT generation
+    with large scene meshes; the brute-force scan remains as the reference
+    implementation it is validated against.
+    """
+    H, W = image_size
+    F = faces.shape[0]
+    pad_h = (-H) % tile
+    pad_w = (-W) % tile
+    Hp, Wp = H + pad_h, W + pad_w
+    TH, TW = Hp // tile, Wp // tile
+    T = TH * TW
+
+    ndc_x, ndc_y = ndc_pixel_grid(H, W, dtype=verts_proj.dtype)
+    # Pad the pixel grid with out-of-range coords (no face will cover them).
+    big_pad = 1e6
+    ndc_x = jnp.pad(ndc_x, ((0, pad_h), (0, pad_w)), constant_values=-big_pad)
+    ndc_y = jnp.pad(ndc_y, ((0, pad_h), (0, pad_w)), constant_values=-big_pad)
+    # (T, tile*tile) pixel coords per tile
+    px_t = ndc_x.reshape(TH, tile, TW, tile).transpose(0, 2, 1, 3).reshape(T, -1)
+    py_t = ndc_y.reshape(TH, tile, TW, tile).transpose(0, 2, 1, 3).reshape(T, -1)
+
+    fv = verts_proj[faces]  # (F, 3, 3)
+    if face_mask is None:
+        face_mask = jnp.ones((F,), bool)
+    z_ok = jnp.all(fv[..., 2] > eps, axis=-1)
+    fx = fv[..., 0]
+    fy = fv[..., 1]
+    face_x_min = jnp.min(fx, axis=-1)
+    face_x_max = jnp.max(fx, axis=-1)
+    face_y_min = jnp.min(fy, axis=-1)
+    face_y_max = jnp.max(fy, axis=-1)
+
+    # Tile NDC bounds. ndc decreases with pixel index, so bounds flip.
+    tile_x_max = jnp.max(px_t, axis=-1)
+    tile_x_min = jnp.min(jnp.where(px_t <= -big_pad / 2, big_pad, px_t), axis=-1)
+    tile_y_max = jnp.max(py_t, axis=-1)
+    tile_y_min = jnp.min(jnp.where(py_t <= -big_pad / 2, big_pad, py_t), axis=-1)
+
+    # Overlap test (T, F): face bbox vs tile bbox (half-pixel slack).
+    s = min(H, W)
+    slack = 2.0 / (s - 1)
+    overlap = (
+        (face_x_min[None, :] <= tile_x_max[:, None] + slack)
+        & (face_x_max[None, :] >= tile_x_min[:, None] - slack)
+        & (face_y_min[None, :] <= tile_y_max[:, None] + slack)
+        & (face_y_max[None, :] >= tile_y_min[:, None] - slack)
+        & (face_mask & z_ok)[None, :]
+    )
+
+    # Per-tile face lists: K smallest overlapping indices.
+    neg_big = jnp.float32(-1e18)
+    scores = jnp.where(overlap,
+                       -jnp.arange(F, dtype=jnp.float32)[None, :], neg_big)
+    K = min(max_faces_per_tile, F)
+    top_scores, tile_faces = jax.lax.top_k(scores, K)  # (T, K)
+    tile_valid = top_scores > neg_big / 2
+
+    x0 = fv[:, 0, 0]
+    y0 = fv[:, 0, 1]
+    z0 = fv[:, 0, 2]
+    x1 = fv[:, 1, 0]
+    y1 = fv[:, 1, 1]
+    z1 = fv[:, 1, 2]
+    x2 = fv[:, 2, 0]
+    y2 = fv[:, 2, 1]
+    z2 = fv[:, 2, 2]
+    area = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+    inv_area_all = jnp.where(jnp.abs(area) > eps, 1.0 / area, 0.0)
+    nondegen = jnp.abs(area) > eps
+
+    big = jnp.asarray(jnp.inf, verts_proj.dtype)
+
+    def per_tile(args):
+        f_idx, f_valid, px, py = args  # (K,), (K,), (P,), (P,)
+        X0, Y0, Z0 = x0[f_idx], y0[f_idx], z0[f_idx]
+        X1, Y1, Z1 = x1[f_idx], y1[f_idx], z1[f_idx]
+        X2, Y2, Z2 = x2[f_idx], y2[f_idx], z2[f_idx]
+        inv_area = inv_area_all[f_idx]
+        valid = f_valid & nondegen[f_idx]
+
+        dxp = px[:, None]
+        dyp = py[:, None]
+        w0 = ((X1 - dxp) * (Y2 - dyp) - (X2 - dxp) * (Y1 - dyp)) * inv_area[None, :]
+        w1 = ((X2 - dxp) * (Y0 - dyp) - (X0 - dxp) * (Y2 - dyp)) * inv_area[None, :]
+        w2 = 1.0 - w0 - w1
+        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & valid[None, :]
+
+        if perspective_correct:
+            iw0 = w0 / Z0[None, :]
+            iw1 = w1 / Z1[None, :]
+            iw2 = w2 / Z2[None, :]
+            denom = iw0 + iw1 + iw2
+            denom = jnp.where(jnp.abs(denom) > eps, denom, eps)
+            b0, b1, b2 = iw0 / denom, iw1 / denom, iw2 / denom
+            z = b0 * Z0[None, :] + b1 * Z1[None, :] + b2 * Z2[None, :]
+        else:
+            b0, b1, b2 = w0, w1, w2
+            z = w0 * Z0[None, :] + w1 * Z1[None, :] + w2 * Z2[None, :]
+
+        inside = inside & (z > eps)
+        z_masked = jnp.where(inside, z, big)
+        j = jnp.argmin(z_masked, axis=-1)
+        rows = jnp.arange(px.shape[0])
+        zt = z_masked[rows, j]
+        ft = f_idx[j]
+        bt = jnp.stack((b0[rows, j], b1[rows, j], b2[rows, j]), axis=-1)
+        empty = ~jnp.isfinite(zt)
+        return (jnp.where(empty, -1.0, zt), jnp.where(empty, -1, ft),
+                jnp.where(empty[:, None], 0.0, bt))
+
+    zt, ft, bt = jax.lax.map(
+        per_tile, (tile_faces, tile_valid, px_t, py_t), batch_size=tile_batch)
+
+    def untile(x, channels=None):
+        if channels is None:
+            x = x.reshape(TH, TW, tile, tile).transpose(0, 2, 1, 3)
+            return x.reshape(Hp, Wp)[:H, :W]
+        x = x.reshape(TH, TW, tile, tile, channels).transpose(0, 2, 1, 3, 4)
+        return x.reshape(Hp, Wp, channels)[:H, :W]
+
+    return Fragments(untile(ft), untile(zt), untile(bt, 3))
+
+
 def project_verts(verts, camera):
     """World verts (V,3) -> (x_ndc, y_ndc, z_view) stack for one camera (no batch)."""
     view = camera.world_to_view(verts[None])[0]
@@ -146,10 +280,15 @@ def project_verts(verts, camera):
 
 
 def rasterize(verts, faces, camera, image_size, chunk: int = 256,
-              perspective_correct: bool = True, face_mask=None):
+              perspective_correct: bool = True, face_mask=None,
+              method: str = "auto", tile: int = 16,
+              max_faces_per_tile: int = 1024):
     """Rasterize a mesh under a (batched) FoV or orthographic camera.
 
     verts (V, 3), faces (F, 3); camera with batch shape (N,); image_size (H, W).
+    method: 'scan' (brute force, exact for any face count), 'binned' (tiled,
+    fast for large meshes; drops faces beyond max_faces_per_tile per tile), or
+    'auto' (binned when F > 4 * max_faces_per_tile).
     Returns Fragments with arrays shaped (N, H, W[, 3]).
     """
     if isinstance(camera, (FoVCamera, OrthoCamera)):
@@ -157,9 +296,18 @@ def rasterize(verts, faces, camera, image_size, chunk: int = 256,
     else:
         raise TypeError(type(camera))
 
+    F = faces.shape[0]
+    if method == "auto":
+        method = "binned" if F > 4 * max_faces_per_tile else "scan"
+
     def one(i):
         cam_i = jax.tree_util.tree_map(lambda x: x[i : i + 1], camera)
         vp = project_verts(verts, cam_i)
+        if method == "binned":
+            return _rasterize_single_binned(
+                vp, faces, tuple(image_size), tile, max_faces_per_tile,
+                perspective_correct, face_mask=face_mask,
+            )
         return _rasterize_single(
             vp, faces, tuple(image_size), chunk, perspective_correct,
             face_mask=face_mask,
