@@ -314,6 +314,29 @@ def compute_visibilities(pts, harmonics, X_cam, max_harmonic_rank: int = 8,
     return jax.nn.sigmoid(z) if use_sigmoid else jax.nn.relu(z)
 
 
+def compute_visibilities_auto(pts, harmonics, X_cam, max_harmonic_rank: int = 8,
+                              use_sigmoid: bool = True,
+                              pallas_threshold: int = 8192):
+    """Visibility evaluation with automatic kernel selection.
+
+    For large point sets the fused Pallas kernel wins (measured on v5e-1:
+    1.8x at L=16384, 2.7x at L=65536 — it never materializes the (C, L, 64)
+    SH basis tensor); below the threshold XLA's fusion of the small problem is
+    faster (20us vs 643us at L=2048), so the XLA path is kept.
+    B=1 only for the pallas path; batched inputs fall back to XLA.
+    """
+    L = pts.shape[-2]
+    if (pts.ndim == 3 and pts.shape[0] == 1 and L >= pallas_threshold
+            and max_harmonic_rank == 8):
+        from ..ops.pallas.sh_visibility import pallas_compute_visibilities
+
+        return pallas_compute_visibilities(
+            pts[0], harmonics[0], X_cam[0], use_sigmoid=use_sigmoid)[None]
+    return compute_visibilities(pts, harmonics, X_cam,
+                                max_harmonic_rank=max_harmonic_rank,
+                                use_sigmoid=use_sigmoid)
+
+
 def compute_coverage_gain(pts, harmonics, X_cam, pts_mask=None,
                           max_harmonic_rank: int = 8, use_sigmoid: bool = True):
     """Coverage gain of every candidate camera (reference SconeVis.py:210-252).
