@@ -66,6 +66,48 @@ def iterate_batches(paths: Sequence[str], batch_size: int, *, shuffle: bool,
         yield [paths[i] for i in idx[n_full * batch_size :]]
 
 
+class RGBDataset:
+    """Frame-level dataset over saved scene trajectories with alpha-neighbor
+    lookup (reference CustomDataset.py:166-310): item i returns the frame path
+    plus its alpha-offset neighbors, skipping blacklisted frames and frames
+    whose neighbors would cross a trajectory boundary. Used by the standalone
+    depth-training path."""
+
+    def __init__(self, frames_dirs: Sequence[str], alphas: Sequence[int] = (-2, -1),
+                 frames_to_remove: Sequence[str] = ()):
+        import os as _os
+
+        self.alphas = list(alphas)
+        self.items = []
+        removed = set(frames_to_remove)
+        lo = -min(0, min(self.alphas))
+        hi = max(0, max(self.alphas))
+        for d in frames_dirs:
+            nums = sorted(
+                int(f.split(".")[0]) for f in _os.listdir(d)
+                if f.split(".")[0].isdigit())
+            valid = set(nums)
+            for n in nums:
+                path = _os.path.join(d, f"{n}.npz")
+                if path in removed:
+                    continue
+                if all((n + a) in valid for a in self.alphas):
+                    self.items.append((d, n))
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        import os as _os
+
+        d, n = self.items[i]
+        return {
+            "frame": _os.path.join(d, f"{n}.npz"),
+            "alpha_frames": [_os.path.join(d, f"{n + a}.npz")
+                             for a in self.alphas],
+        }
+
+
 # ---------------------------------------------------------------------------
 # GT artifact loaders (npz ours / pt reference)
 # ---------------------------------------------------------------------------

@@ -23,6 +23,26 @@ xavier_normal = nn.initializers.glorot_normal()
 kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 
 
+def stats_matched_init(params_tree, reference_tree, key):
+    """Re-initialize every kernel as N(mean, std) of the matching layer in a
+    previous model — the reference's 'simple initialization process'
+    (scone_utils.py:265-288 from_previous_model branch)."""
+    import jax
+
+    leaves, treedef = jax.tree_util.tree_flatten(params_tree)
+    ref_leaves = jax.tree_util.tree_leaves(reference_tree)
+    keys = jax.random.split(key, len(leaves))
+    new = []
+    for leaf, ref, k in zip(leaves, ref_leaves, keys):
+        if leaf.ndim >= 2:  # kernels only; biases keep their init
+            mean = jnp.mean(ref)
+            std = jnp.std(ref)
+            new.append(mean + std * jax.random.normal(k, leaf.shape, leaf.dtype))
+        else:
+            new.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, new)
+
+
 def torch_bias_init(key, shape, dtype, fan_in: int):
     """torch nn.Linear default bias init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
     import jax

@@ -365,6 +365,34 @@ def interpolate_face_attributes(fragments: Fragments, face_attrs):
     return jnp.where(fragments.pix_to_face[..., None] >= 0, out, 0.0)
 
 
+def sample_texture_atlas(fragments: Fragments, atlas, mode: str = "nearest"):
+    """Sample a PT3D-style per-face texture atlas (F, R, R, 3) at the winning
+    faces' barycentrics (TexturesAtlas semantics: grid coords from (w0, w1),
+    align_corners). Returns (N, H, W, 3)."""
+    Rres = atlas.shape[1]
+    f = jnp.maximum(fragments.pix_to_face, 0)
+    w0 = jnp.clip(fragments.bary[..., 0], 0.0, 1.0)
+    w1 = jnp.clip(fragments.bary[..., 1], 0.0, 1.0)
+    if mode == "nearest":
+        iy = jnp.round(w0 * (Rres - 1)).astype(jnp.int32)
+        ix = jnp.round(w1 * (Rres - 1)).astype(jnp.int32)
+        tex = atlas[f, iy, ix]
+    else:
+        gy = w0 * (Rres - 1)
+        gx = w1 * (Rres - 1)
+        y0 = jnp.floor(gy).astype(jnp.int32)
+        x0 = jnp.floor(gx).astype(jnp.int32)
+        y1 = jnp.minimum(y0 + 1, Rres - 1)
+        x1 = jnp.minimum(x0 + 1, Rres - 1)
+        wy = (gy - y0)[..., None]
+        wx = (gx - x0)[..., None]
+        tex = (atlas[f, y0, x0] * (1 - wy) * (1 - wx)
+               + atlas[f, y0, x1] * (1 - wy) * wx
+               + atlas[f, y1, x0] * wy * (1 - wx)
+               + atlas[f, y1, x1] * wy * wx)
+    return jnp.where(fragments.pix_to_face[..., None] >= 0, tex, 0.0)
+
+
 def flat_shading(fragments: Fragments, verts, faces, texels, lights: PointLights,
                  camera_center, shininess: float = 64.0):
     """Per-face-normal Phong lighting (PT3D flat_shading semantics).
@@ -405,20 +433,23 @@ def flat_shading(fragments: Fragments, verts, faces, texels, lights: PointLights
 
 
 def render_mesh(verts, faces, camera, image_size, lights: PointLights,
-                vert_colors=None, face_colors=None, background=1.0,
-                chunk: int = 256, perspective_correct: bool = False,
-                face_mask=None):
+                vert_colors=None, face_colors=None, texture_atlas=None,
+                background=1.0, chunk: int = 256,
+                perspective_correct: bool = False, face_mask=None):
     """Full render: rasterize + flat-shade + hard blend over a background.
 
     Reproduces the reference capture pipeline (MeshRendererWithFragments with
     SoftFlatShader at blur=0, macarons_utils.py:706-737): returns
     (images (N, H, W, 3), Fragments). Texture source: per-vertex colors
-    (interpolated) or per-face colors; default albedo 1.
+    (interpolated), per-face colors, or a PT3D-style per-face texture atlas
+    (F, R, R, 3); default albedo 1.
     """
     frags = rasterize(verts, faces, camera, image_size, chunk=chunk,
                       perspective_correct=perspective_correct,
                       face_mask=face_mask)
-    if vert_colors is not None:
+    if texture_atlas is not None:
+        texels = sample_texture_atlas(frags, texture_atlas)
+    elif vert_colors is not None:
         texels = interpolate_face_attributes(frags, vert_colors[faces])
     elif face_colors is not None:
         texels = face_colors[jnp.maximum(frags.pix_to_face, 0)]

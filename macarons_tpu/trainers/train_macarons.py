@@ -735,6 +735,7 @@ def run_training(params: Params, data_path: Optional[str] = None,
     rt = None
     opt_states = None
     all_train_losses = []
+    best_val_coverage = -1.0
     for epoch in range(start_epoch, params.get("epochs", 1)):
         t0 = time.time()
         epoch_losses = {"depth": [], "occ": [], "cov": []}
@@ -797,14 +798,59 @@ def run_training(params: Params, data_path: Optional[str] = None,
             {k_: float(np.mean(v)) if v else 0.0 for k_, v in epoch_losses.items()})
         depth_losses_per_epoch.append(mean_depth)
 
+        # Validation: frozen-weights exploration on the val scenes
+        # (reference validates coverage periodically; coverage_validated_ ckpt)
+        val_coverage = None
+        val_scenes = params.get("val_scenes")
+        if (val_scenes and params.get("validate_every_n_epochs", 0) > 0
+                and (epoch + 1) % params["validate_every_n_epochs"] == 0):
+            covs = []
+            for vname in val_scenes:
+                if vname not in dataset.scene_names:
+                    continue
+                item = dataset[dataset.scene_names.index(vname)]
+                key, k_scene = jax.random.split(key)
+                vscene = setup_scene(params, item, k_scene)
+                mem_root = memory_root or data_path
+                vmem_path = os.path.join(mem_root, vname,
+                                         "macarons_memory_val")
+                vmem = Memory([vmem_path], current_epoch=epoch)
+                _, _, _, key = run_trajectory(
+                    rt, vscene, vmem, vmem_path, variables,
+                    {"depth": opt_states["depth"], "scone": opt_states["scone"]},
+                    key, rs,
+                    n_poses=params.get("n_val_poses", 10),
+                    online_learning=False, verbose=False)
+                covs.append(vscene.coverages[-1])
+            if covs:
+                val_coverage = float(np.mean(covs))
+                if verbose:
+                    print(f"epoch {epoch}: val coverage {val_coverage:.4f}")
+
         meta = {"epoch": epoch, "depth_losses": depth_losses_per_epoch,
-                "train_losses": all_train_losses, "best_loss": best_loss}
+                "train_losses": all_train_losses, "best_loss": best_loss,
+                "val_coverage": val_coverage}
+
+        # Per-epoch loss curves JSON (reference losses_data_<model>.json dump,
+        # train_macarons.py:1693-1712)
+        os.makedirs(weights_dir, exist_ok=True)
+        import json as _json
+
+        with open(os.path.join(weights_dir, f"losses_data_{name}.json"),
+                  "w") as f:
+            _json.dump({"train_losses": all_train_losses,
+                        "depth_losses": depth_losses_per_epoch}, f, indent=2)
         save_macarons(os.path.join(weights_dir, f"unvalidated_{name}"),
                       variables, meta)
         if mean_depth < best_loss:
             best_loss = mean_depth
             save_macarons(os.path.join(weights_dir, f"best_unval_{name}"),
                           variables, meta)
+        if val_coverage is not None and val_coverage > best_val_coverage:
+            best_val_coverage = val_coverage
+            save_macarons(
+                os.path.join(weights_dir, f"coverage_validated_{name}"),
+                variables, meta)
         save_macarons(os.path.join(weights_dir, f"epoch_{epoch}_{name}"),
                       variables, meta)
 
