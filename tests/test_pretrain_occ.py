@@ -27,31 +27,6 @@ SMALL = dict(
 )
 
 
-@pytest.fixture(scope="module")
-def shapenet_root(tmp_path_factory):
-    root = tmp_path_factory.mktemp("shapenet")
-    cfg = sng.ShapeNetGTConfig(
-        n_points_surface=256, part_pc_length=128, n_samples_for_occupancy=400,
-        n_max_samples=800, image_size=48, surface_epsilon=0.1,
-    )
-    models = []
-    key = jax.random.PRNGKey(7)
-    for i in range(8):
-        verts, faces = cube_mesh(1.0)
-        scale = jnp.array([1.0, 0.6 + 0.1 * i, 0.8])
-        verts = sng.adjust_mesh_diagonally(verts * scale, 1.0)
-        mdir = root / "02000000" / f"model_{i}"
-        mdir.mkdir(parents=True)
-        (mdir / "model.obj").write_text("# placeholder\n")
-        key, k = jax.random.split(key)
-        gt = sng.generate_mesh_gt(k, verts, faces, cfg)
-        sng.save_mesh_gt(gt, str(mdir / "tensors"))
-        models.append(f"02000000/model_{i}/model.obj")
-    for split in ("train_list.json", "val_list.json", "all_test_list.json"):
-        (root / split).write_text(json.dumps({"models": models}))
-    return str(root)
-
-
 def test_pretrain_occ_runs_and_checkpoints(shapenet_root, tmp_path):
     params = Params(dict(SMALL, data_path=shapenet_root))
     state, train_losses, val_losses = pretrain_occ.run_training(

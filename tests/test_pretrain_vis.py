@@ -8,7 +8,7 @@ import pytest
 from macarons_tpu.config import Params
 from macarons_tpu.trainers import pretrain_occ, pretrain_vis
 from macarons_tpu.data import datasets as D
-from test_pretrain_occ import SMALL, shapenet_root  # noqa: F401
+from test_pretrain_occ import SMALL
 
 VIS_SMALL = dict(
     SMALL,

@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 from macarons_tpu.config import Params
-from test_pretrain_occ import SMALL, shapenet_root  # noqa: F401
+from test_pretrain_occ import SMALL
 from test_pretrain_vis import VIS_SMALL
 
 
