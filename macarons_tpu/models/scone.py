@@ -63,6 +63,9 @@ class SconeOcc(nn.Module):
     n_harmonics: int = 64
     output_dim: int = 1
     offset: bool = True
+    # TPU-optimized approximate kNN for local features (recall ~0.95; exact on
+    # CPU). The reference's local pooling already randomizes its inputs.
+    approx_knn: bool = True
 
     @nn.compact
     def __call__(self, pc, x, view_harmonics, key=None, pc_mask=None):
@@ -134,7 +137,8 @@ class SconeOcc(nn.Module):
                 from ..ops.knn import knn_points_masked
 
                 local_pc, _, _, _ = knn_points_masked(
-                    x, down_pc, self.k_for_knn, pc_mask=down_mask
+                    x, down_pc, self.k_for_knn, pc_mask=down_mask,
+                    approx=self.approx_knn,
                 )
             else:
                 local_pc, _, _ = knn_points(x, down_pc, self.k_for_knn)
