@@ -2,8 +2,9 @@
 
 Mirrors the reference's `Params` loader semantics (reference: macarons/utility/utils.py:44-83):
 top-level keys starting with ``_`` are "category" groups whose children are flattened
-into a single flat attribute namespace. We keep the exact JSON schema for entry-point
-compatibility, but back it with a typed, validated container.
+into a single flat attribute namespace. The exact JSON schema is kept for entry-point
+compatibility; like the reference, fields are dynamically typed (no schema validation —
+unknown attribute access raises, `get` provides defaults).
 """
 
 from __future__ import annotations

@@ -139,43 +139,67 @@ def compute_scene_settings(verts: np.ndarray, cell_size: float = 1.0,
 
 
 def compute_occupied_poses(mesh: Mesh, pose_space, image_size=(64, 64),
-                           threshold: float = 1e-3) -> dict:
-    """Detect camera positions inside geometry by comparing normal vs
-    backface-culled renders (reference generate_scene_data.py:246-285).
+                           threshold: float = 1e-3, zfar: float = 100.0,
+                           rs: Optional[np.random.Generator] = None) -> dict:
+    """Detect camera positions inside geometry by comparing a normal render
+    against a backface-culled render (reference generate_scene_data.py:246-285).
 
-    A camera inside a watertight mesh sees only backfaces: culling them changes
-    the image; outside, front faces dominate and culling changes little.
-    """
-    import jax
+    A camera inside a watertight mesh sees only backfaces, so culling them
+    changes the image everywhere (mean abs diff > threshold); outside, front
+    faces dominate and culling changes (almost) nothing."""
     import jax.numpy as jnp
 
-    from ..ops.rasterizer import rasterize
-    from ..scene.camera import get_camera_RT
     from ..ops.geometry import FoVCamera
+    from ..ops.projection import points_in_fov_mask
+    from ..ops.rasterizer import PointLights, front_face_mask, render_mesh
+    from ..scene.camera import get_camera_RT
 
+    rs = rs or np.random.default_rng(0)
     verts = jnp.asarray(mesh.verts)
     faces = jnp.asarray(mesh.faces)
-    # Backface-culled copy: drop faces oriented away per camera is per-view;
-    # approximation: render depth with both orientations and compare coverage.
+    colors = (jnp.asarray(mesh.vert_colors)
+              if mesh.vert_colors is not None else None)
+    lights = PointLights.create(jnp.zeros((1, 3)), ambient=1.0, diffuse=0.0,
+                                specular=0.0)
+    H, W = image_size
+
+    def cam_for(pose):
+        X = jnp.asarray(pose[:3]).reshape(1, 3)
+        V = jnp.asarray(pose[3:]).reshape(1, 2)
+        R, T = get_camera_RT(X, V)
+        return FoVCamera.create(R, T, zfar=zfar)
+
     X_idx = []
     occupied = []
     dims = pose_space.dims
     for i in range(dims[0]):
         for j in range(dims[1]):
             for k in range(dims[2]):
-                idx = np.array([i, j, k, dims[3] // 2, 0])
-                pose = np.asarray(pose_space.pose_from_idx(jnp.asarray(idx)))
-                X = jnp.asarray(pose[:3]).reshape(1, 3)
-                V = jnp.asarray(pose[3:]).reshape(1, 2)
-                R, T = get_camera_RT(X, V)
-                cam = FoVCamera.create(R, T, zfar=100.0)
-                frags = rasterize(verts, faces, cam, image_size, chunk=256)
-                zb = np.asarray(frags.zbuf)[0]
-                # Inside a closed mesh: the whole view is covered at short range
-                hit = zb > 0
-                near = hit.mean() > 0.98 and (zb[hit].mean() < 2.0
-                                              if hit.any() else False)
+                idx = np.array([i, j, k, 0, 0])
+                pose = np.array(pose_space.pose_from_idx(jnp.asarray(idx)))
+                cam = cam_for(pose)
+                # Re-sample the view direction until the fov is non-empty
+                # (reference :255-263)
+                for _ in range(32):
+                    if bool(points_in_fov_mask(verts[None], cam, H, W,
+                                               fov_range=5 * zfar).any()):
+                        break
+                    pose[3] = -90.0 + 180.0 * (
+                        1 + rs.integers(0, dims[3])) / (dims[3] + 1)
+                    pose[4] = 360.0 * rs.integers(0, dims[4]) / dims[4]
+                    cam = cam_for(pose)
+                # Black background so culled-to-background pixels always
+                # register in the diff even for untextured meshes (the
+                # reference's scenes are textured; diff is background-invariant
+                # for pixels covered in both renders).
+                normal, _ = render_mesh(verts, faces, cam, image_size, lights,
+                                        vert_colors=colors, background=0.0)
+                culled, _ = render_mesh(verts, faces, cam, image_size, lights,
+                                        vert_colors=colors, background=0.0,
+                                        face_mask=front_face_mask(verts, faces,
+                                                                  cam))
+                diff = float(jnp.mean(jnp.abs(normal - culled)))
                 X_idx.append([i, j, k])
-                occupied.append(bool(near))
+                occupied.append(diff > threshold)
     return {"X_idx": np.asarray(X_idx, np.int64),
             "occupied": np.asarray(occupied, bool)}

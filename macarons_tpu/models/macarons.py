@@ -105,28 +105,30 @@ def create_macarons_optimizer(params: Params, variables: MacaronsVariables,
 
 
 def save_macarons(path: str, variables: MacaronsVariables, metadata=None,
-                  optimizer: Optional[MacaronsOptimizer] = None):
+                  opt_states: Optional[dict] = None):
+    """Save the bundle (+ optionally the two optimizer states, reference
+    train_macarons.py:1603-1612 saves model + optimizer state dicts)."""
     tree = {"depth": variables.depth, "occ": variables.occ, "vis": variables.vis}
-    if optimizer is not None:
-        tree["depth_opt"] = optimizer.depth_opt_state
-        tree["scone_opt"] = optimizer.scone_opt_state
+    if opt_states is not None:
+        tree["depth_opt"] = opt_states["depth"]
+        tree["scone_opt"] = opt_states["scone"]
     save_checkpoint(path, tree, metadata)
 
 
 def load_macarons(path: str, variables: MacaronsVariables,
-                  optimizer: Optional[MacaronsOptimizer] = None):
+                  opt_states: Optional[dict] = None):
+    """Restore the bundle saved by save_macarons. With `opt_states` (templates
+    with the right structure), also restores both optimizer states and returns
+    (variables, opt_states, meta); else (variables, meta)."""
     tree = {"depth": variables.depth, "occ": variables.occ, "vis": variables.vis}
-    if optimizer is not None:
-        tree["depth_opt"] = optimizer.depth_opt_state
-        tree["scone_opt"] = optimizer.scone_opt_state
+    if opt_states is not None:
+        tree["depth_opt"] = opt_states["depth"]
+        tree["scone_opt"] = opt_states["scone"]
     loaded, meta = load_checkpoint(path, tree)
     new_vars = MacaronsVariables(loaded["depth"], loaded["occ"], loaded["vis"])
-    if optimizer is not None:
-        optimizer = optimizer._replace(
-            depth_opt_state=loaded["depth_opt"],
-            scone_opt_state=loaded["scone_opt"],
-        )
-        return new_vars, optimizer, meta
+    if opt_states is not None:
+        return new_vars, {"depth": loaded["depth_opt"],
+                          "scone": loaded["scone_opt"]}, meta
     return new_vars, meta
 
 

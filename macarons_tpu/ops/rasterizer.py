@@ -348,6 +348,21 @@ class PointLights(NamedTuple):
         return cls(location, col(ambient), col(diffuse), col(specular))
 
 
+def front_face_mask(verts, faces, camera):
+    """Faces kept by backface culling for a (batch-1) camera
+    (PT3D RasterizationSettings(cull_backfaces=True), used by the reference's
+    occupied-pose detector, data/scenes/generate_scene_data.py:89-121).
+
+    Computed in view space — a face is culled when its geometric normal points
+    away from the camera (the screen-space signed-area test PT3D uses breaks
+    for faces behind the camera plane, which matters precisely for the
+    inside-a-mesh case this feeds)."""
+    n = face_normals(verts, faces)  # (F, 3), orientation from vertex winding
+    centers = verts[faces].mean(axis=1)  # (F, 3)
+    view_dir = centers - camera.camera_center().reshape(1, 3)
+    return jnp.sum(n * view_dir, axis=-1) < 0
+
+
 def face_normals(verts, faces):
     """Unit per-face normals (F, 3)."""
     fv = verts[faces]

@@ -182,6 +182,32 @@ class Memory:
         last = int(rs.integers(n_needed - 1, n))
         return t, last
 
+    def sample_depth_replay(self, rs: np.random.Generator, n_samples: int,
+                            n_context: int,
+                            exclude_traj: Optional[int] = None):
+        """Sample n_samples independent (scene_path, traj, last_frame) tuples
+        across ALL scene memories and past trajectories (reference
+        get_random_batch_for_depth_model, macarons_utils.py:3248-3322: each
+        sample is ONE random supervision frame + its alpha context, drawn from
+        a random scene and any trajectory except the in-progress index).
+
+        Returns a list of tuples, or None if no trajectory is replayable."""
+        pools = []
+        for path in self.scene_memory_paths:
+            for t in range(self.n_trajectories):
+                if exclude_traj is not None and t == exclude_traj:
+                    continue
+                n = self.n_frames(path, t)
+                if n >= n_context:
+                    pools.append((path, t, n))
+        if not pools:
+            return None
+        out = []
+        for _ in range(n_samples):
+            path, t, n = pools[rs.integers(0, len(pools))]
+            out.append((path, t, int(rs.integers(n_context - 1, n))))
+        return out
+
     def get_random_scene_for_scone(self, rs: np.random.Generator,
                                    scene_path: str, n_frames_needed: int,
                                    exclude_traj: Optional[int] = None):

@@ -57,14 +57,21 @@ class CellIndexTable(NamedTuple):
 
 
 def build_cell_index_table(cfg: GridConfig, proxy_points: np.ndarray,
-                           k_cell: Optional[int] = None) -> CellIndexTable:
-    """Group the (fixed) proxy points by grid cell; precompute neighbors."""
+                           k_cell: Optional[int] = None,
+                           k_cell_bucket: int = 64) -> CellIndexTable:
+    """Group the (fixed) proxy points by grid cell; precompute neighbors.
+
+    K_cell is rounded up to a multiple of `k_cell_bucket` so scenes with
+    similar proxy densities share one compiled occupancy program instead of
+    each pinning its own exact max-count shape."""
     proxy_points = np.asarray(proxy_points)
     cid = np.asarray(cell_index(cfg, jnp.asarray(proxy_points)))
     C = cfg.n_cells
     counts = np.bincount(cid, minlength=C)
     if k_cell is None:
         k_cell = int(counts.max())
+        if k_cell_bucket > 1:
+            k_cell = -(-k_cell // k_cell_bucket) * k_cell_bucket
     slots = np.zeros((C, k_cell), np.int32)
     mask = np.zeros((C, k_cell), bool)
     fill = np.zeros(C, np.int64)
@@ -91,35 +98,63 @@ def build_cell_index_table(cfg: GridConfig, proxy_points: np.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def make_occupancy_field_fn(occ_model, cfg: GridConfig, table: CellIndexTable,
-                            n_elev: int = 7, n_azim: int = 14, degree: int = 8,
-                            prediction_neighborhood_size: float = 3.0,
-                            k_for_knn: int = 16, max_cells: int = 32,
-                            cell_batch: int = 4):
-    """Build the jitted occupancy-field driver.
+class CellTables(NamedTuple):
+    """Device-side per-scene cell tables, passed as ARGUMENTS to the shared
+    compiled occupancy program (not baked in as constants) so every scene with
+    the same table shapes reuses one compilation."""
 
-    Returns fn(occ_vars, proxy: ProxyState, surface: GridState,
-               prediction_camera, key, select_key=None, supervision=False,
-               use_supervision_occ_mask=True)
+    slots: jnp.ndarray  # (C, K_cell) int32
+    slot_mask: jnp.ndarray  # (C, K_cell) bool
+    neighbor_ids: jnp.ndarray  # (C, 27) int32
+    centers: jnp.ndarray  # (C, 3) cell centers
+    pred_diag: jnp.ndarray  # scalar: neighborhood_size * cell diagonal
+
+
+def device_cell_tables(cfg: GridConfig, table: CellIndexTable,
+                       prediction_neighborhood_size: float = 3.0) -> CellTables:
+    return CellTables(
+        jnp.asarray(table.proxy_slots), jnp.asarray(table.proxy_slot_mask),
+        jnp.asarray(table.neighbor_ids), jnp.asarray(cfg.cell_centers()),
+        jnp.asarray(prediction_neighborhood_size
+                    * float(np.linalg.norm(cfg.cell_size))),
+    )
+
+
+_OCC_IMPL_CACHE: dict = {}
+
+
+def occupancy_field_impl(occ_model, n_elev: int = 7, n_azim: int = 14,
+                         degree: int = 8, k_for_knn: int = 16,
+                         max_cells: int = 32, cell_batch: int = 4):
+    """The shared jitted occupancy-field program, cached per
+    (model, view-state/harmonics/cell static config).
+
+    Signature: run(occ_vars, proxy, surface, tables: CellTables,
+                   prediction_camera, key, supervision=False,
+                   use_supervision_occ_mask=True, eligible_override=None)
       -> (proba (N, 1), prediction_mask (N,), harmonics (N, H))
 
     Cells are ranked by eligible-proxy count and the top `max_cells` are
     processed (the reference caps supervision passes similarly via
     n_cell_per_occ_forward_pass and skips empty cells).
     """
-    slots = jnp.asarray(table.proxy_slots)
-    slot_mask = jnp.asarray(table.proxy_slot_mask)
-    neighbor_ids = jnp.asarray(table.neighbor_ids)
-    centers = jnp.asarray(cfg.cell_centers())
-    cell_diag = float(np.linalg.norm(cfg.cell_size))
+    cache_key = (occ_model, n_elev, n_azim, degree, k_for_knn, max_cells,
+                 cell_batch)
+    if cache_key in _OCC_IMPL_CACHE:
+        return _OCC_IMPL_CACHE[cache_key]
+
     base_harmonics, h_polar, _ = get_all_harmonics_under_degree(degree, n_elev, n_azim)
     n_harmonics = degree * degree
 
     @partial(jax.jit, static_argnames=("supervision", "use_supervision_occ_mask"))
     def run(occ_vars, proxy: ProxyState, surface: GridState,
-            prediction_camera: FoVCamera, key,
+            tables: CellTables, prediction_camera: FoVCamera, key,
             supervision: bool = False, use_supervision_occ_mask: bool = True,
-            eligible_override=None):
+            eligible_override=None, n_cells_active=None):
+        slots = tables.slots
+        slot_mask = tables.slot_mask
+        neighbor_ids = tables.neighbor_ids
+        centers = tables.centers
         N = proxy.points.shape[0]
         occ_mask = proxy.supervision_occ[:, 0] > 0.0
         fov_mask = proxy.out_of_field[:, 0] < 1.0
@@ -141,6 +176,11 @@ def make_occupancy_field_fn(occ_model, cfg: GridConfig, table: CellIndexTable,
             rank_score = counts.astype(jnp.float32)
         _, top_cells = jax.lax.top_k(rank_score, max_cells)
         cell_ok = counts[top_cells] > 0
+        if n_cells_active is not None:
+            # Occupancy-supervision curriculum (reference macarons_utils.py
+            # :1556-1563): the number of supervised cells ramps up over the
+            # trajectory. Static shape, masked — the program compiles once.
+            cell_ok = cell_ok & (jnp.arange(max_cells) < n_cells_active)
 
         # View-space permutation of the histogram grid for this camera (static math)
         perm = view_space_permutation(prediction_camera, n_elev, n_azim)
@@ -156,7 +196,7 @@ def make_occupancy_field_fn(occ_model, cfg: GridConfig, table: CellIndexTable,
             pc_mask = surface.valid[nb].reshape(-1)
 
             center = prediction_camera.world_to_view(centers[c][None, None, :])[0, 0]
-            diag = prediction_neighborhood_size * cell_diag
+            diag = tables.pred_diag
 
             Xv = prediction_camera.world_to_view(X_world[None])[0]
             Xn = normalize_points_in_prediction_box(Xv, center, diag)
@@ -191,7 +231,53 @@ def make_occupancy_field_fn(occ_model, cfg: GridConfig, table: CellIndexTable,
         pred_mask = jnp.zeros((N + 1,), bool).at[safe_idx].set(flat_m)[:N]
         return proba[:, None], pred_mask, harmonics
 
+    _OCC_IMPL_CACHE[cache_key] = run
     return run
+
+
+def make_occupancy_field_fn(occ_model, cfg: GridConfig, table: CellIndexTable,
+                            n_elev: int = 7, n_azim: int = 14, degree: int = 8,
+                            prediction_neighborhood_size: float = 3.0,
+                            k_for_knn: int = 16, max_cells: int = 32,
+                            cell_batch: int = 4):
+    """Scene-bound wrapper over the shared occupancy program.
+
+    Returns fn(occ_vars, proxy, surface, prediction_camera, key, ...) — same
+    interface as before, but rebuilding it for another scene reuses the
+    compiled program whenever the table shapes match."""
+    impl = occupancy_field_impl(occ_model, n_elev=n_elev, n_azim=n_azim,
+                                degree=degree, k_for_knn=k_for_knn,
+                                max_cells=max_cells, cell_batch=cell_batch)
+    tables = device_cell_tables(cfg, table, prediction_neighborhood_size)
+
+    def run(occ_vars, proxy, surface, prediction_camera, key, **kw):
+        return impl(occ_vars, proxy, surface, tables, prediction_camera, key,
+                    **kw)
+
+    run.impl = impl
+    run.tables = tables
+    return run
+
+
+def curriculum_sampling_distances(n_poses: int, proxy_distance: float,
+                                  cell_size) -> np.ndarray:
+    """Arctan ramp of the occupancy-supervision distance over a trajectory
+    (reference get_curriculum_sampling_distances, macarons_utils.py:1543-1553):
+    from 3x the proxy-point spacing up to 2x the surface-cell diagonal."""
+    min_d = 3.0 * proxy_distance
+    max_d = 2.0 * float(np.linalg.norm(np.asarray(cell_size)))
+    x = np.arctan(10.0 * (np.linspace(0.0, 1.0, n_poses) - 0.5))
+    x -= x.min()
+    x /= x.max()
+    return (min_d + x * (max_d - min_d)).astype(np.float32)
+
+
+def curriculum_sampling_cell_number(n_poses: int, min_cells: int = 5,
+                                    max_cells: int = 20) -> np.ndarray:
+    """Linear ramp of supervised cell count (reference
+    get_curriculum_sampling_cell_number, macarons_utils.py:1556-1563)."""
+    n = min_cells + np.linspace(0.0, 1.0, n_poses) * (max_cells - min_cells)
+    return np.floor(n).astype(np.int32)
 
 
 def assemble_scene_field(proxy: ProxyState, proba, pred_mask, harmonics):

@@ -34,6 +34,7 @@ from ..ops.projection import project_depth_back_to_3D
 from ..scene import grid as G
 from ..scene import proxy as P
 from ..scene import runtime as R
+from ..parallel.nbv import pad_candidates
 from ..scene.camera import get_camera_RT
 from ..scene.depth_runtime import create_batch_for_depth_model
 from ..scene.memory import Memory
@@ -135,12 +136,15 @@ def compute_trajectory(rt: MacaronsRuntime, scene: SceneState, memory: Memory,
         X_cand = poses[:, :3]
         R_c, T_c = get_camera_RT(X_cand, poses[:, 3:])
         cand_cams = FoVCamera.create(R_c, T_c, zfar=rt.dcfg.zfar)
+        # Static candidate bucket => the scorer compiles once (see trainer)
+        cand_cams, X_cand, n_cand = pad_candidates(
+            cand_cams, X_cand, params.get("nbv_candidate_bucket", 8))
         box_diag = float(np.linalg.norm(
             np.asarray(scene.cfg.x_max) - np.asarray(scene.cfg.x_min)))
         key, k_cov = jax.random.split(key)
         gains = rt.coverage_gains(
             variables.vis, *field, cand_cams, X_cand, cam.fov_camera_0,
-            box_diag, scene.cfg.resolution, rt.sensor_range, k_cov)
+            box_diag, scene.cfg.resolution, rt.sensor_range, k_cov)[:n_cand]
         next_idx = valid_nbrs[int(np.argmax(np.asarray(gains)))]
 
         # Move and capture; update TRUE coverage from GT zbuf
@@ -211,15 +215,7 @@ def run_test(params: Params, data_path: Optional[str] = None,
             if rt is None:
                 rt = MacaronsRuntime(params, model, scene.cfg, scene.cell_table)
             else:
-                rt.occupancy_field = R.make_occupancy_field_fn(
-                    model.occ, scene.cfg, scene.cell_table,
-                    n_elev=params.get("view_state_n_elev", 7),
-                    n_azim=params.get("view_state_n_azim", 14),
-                    degree=params.get("harmonic_degree", 8),
-                    k_for_knn=params.get("k_for_knn", 16),
-                    max_cells=params.get("n_cell_per_occ_forward_pass", 12),
-                    cell_batch=params.get("occ_cell_batch", 2),
-                )
+                rt.bind_scene(scene.cfg, scene.cell_table)
             mem_root = memory_root or os.path.join(results_dir, "_test_memory")
             memory_path = os.path.join(mem_root, name, f"start_{start_i}")
             memory = Memory([memory_path])

@@ -54,7 +54,9 @@ from ..scene.depth_runtime import (
     create_batch_for_depth_model,
     make_apply_depth_fn,
 )
+from ..parallel.nbv import pad_candidates
 from ..scene.memory import Memory
+from ..utils.checkpoint import checkpoint_exists
 
 
 # ---------------------------------------------------------------------------
@@ -108,16 +110,6 @@ def setup_scene(params: Params, scene_item: Dict, key,
     if mirrored_axes:
         mesh = mirror_mesh(mesh, mirrored_axes)
     s = scene_item["settings"]
-
-    def maybe_mirror(v):
-        v = np.asarray(v, np.float32).copy()
-        if mirrored_axes:
-            for a in mirrored_axes:
-                lo, hi = -v[a], -v[a]
-            for a in mirrored_axes:
-                v[a] = -v[a]
-        return v
-
     x_min = np.asarray(s.scene_x_min, np.float32)
     x_max = np.asarray(s.scene_x_max, np.float32)
     if mirrored_axes:
@@ -187,7 +179,8 @@ class MacaronsRuntime:
     """Jit-compiled step functions shared across scenes with the same shapes."""
 
     def __init__(self, params: Params, model: MacaronsModel,
-                 cfg: G.GridConfig, table: R.CellIndexTable):
+                 cfg: Optional[G.GridConfig] = None,
+                 table: Optional[R.CellIndexTable] = None):
         self.params = params
         self.model = model
         self.dcfg = depth_cfg_from_params(params)
@@ -208,16 +201,35 @@ class MacaronsRuntime:
             use_perfect_depth=params.get("use_perfect_depth", False),
             train=True,
         )
-        self.occupancy_field = R.make_occupancy_field_fn(
-            model.occ, cfg, table,
+        self._occ_impl = R.occupancy_field_impl(
+            model.occ,
             n_elev=params.get("view_state_n_elev", 7),
             n_azim=params.get("view_state_n_azim", 14),
             degree=params.get("harmonic_degree", 8),
-            prediction_neighborhood_size=params.get("prediction_neighborhood_size", 3.0),
             k_for_knn=params.get("k_for_knn", 16),
             max_cells=params.get("n_cell_per_occ_forward_pass", 12),
             cell_batch=params.get("occ_cell_batch", 2),
         )
+        # Separate supervision program: the curriculum ramps the supervised
+        # cell count up to occ_curriculum_max_cells (reference 5..20,
+        # macarons_utils.py:1556-1563); shapes stay static, inactive cells
+        # are masked via n_cells_active.
+        self.occ_curriculum_min_cells = params.get("occ_curriculum_min_cells", 5)
+        self.occ_curriculum_max_cells = params.get(
+            "occ_curriculum_max_cells",
+            max(20, params.get("n_cell_per_occ_forward_pass", 12)))
+        self._occ_impl_sup = R.occupancy_field_impl(
+            model.occ,
+            n_elev=params.get("view_state_n_elev", 7),
+            n_azim=params.get("view_state_n_azim", 14),
+            degree=params.get("harmonic_degree", 8),
+            k_for_knn=params.get("k_for_knn", 16),
+            max_cells=self.occ_curriculum_max_cells,
+            cell_batch=params.get("occ_cell_batch", 2),
+        )
+        self._tables = None
+        if cfg is not None and table is not None:
+            self.bind_scene(cfg, table)
         self.coverage_gains = R.make_coverage_gain_fn(
             model.vis, seq_len=self.seq_len, image_height=H, image_width=W,
             min_occ=params.get("min_occ_for_proxy_points", 0.1),
@@ -226,15 +238,71 @@ class MacaronsRuntime:
             dist_factor_mode=params.get("distance_factor_th"),
         )
 
+        # Per-module WarmupAdamW with epoch-schedule drops (reference
+        # get_optimizer :265-282, update_macarons_learning_rate :303-305,
+        # train_macarons.py:1447-1557). The lr is an injected hyperparam living
+        # inside the optimizer state, so host-side schedule updates never
+        # retrigger compilation. torch.optim.AdamW's default weight_decay is
+        # 0.01, hence the non-optax-default here.
         depth_lr = params.get("depth_learning_rate", params.get("learning_rate", 1e-4))
         scone_lr = params.get("scone_learning_rate", params.get("learning_rate", 1e-4))
-        self.depth_tx = optax.adamw(depth_lr)
-        self.scone_tx = optax.adamw(scone_lr)
+        self.schedule_lr = params.get("schedule_learning_rate", False)
+        self.lr_factor = params.get("lr_factor", 0.1)
+        self.depth_base_lr, self.scone_base_lr = depth_lr, scone_lr
+        self.depth_max_lr, self.scone_max_lr = depth_lr, scone_lr
+        self.depth_warmup = params.get("depth_warmup", params.get("warmup", 1))
+        self.scone_warmup = params.get("scone_warmup", params.get("warmup", 1))
+        self.depth_lr_epochs = list(params.get("depth_lr_epochs") or [])
+        self.scone_lr_epochs = list(params.get("scone_lr_epochs") or [])
+        self.depth_opt_steps = 0
+        self.scone_opt_steps = 0
+        self.depth_tx = optax.inject_hyperparams(optax.adamw)(
+            learning_rate=depth_lr, weight_decay=0.01)
+        self.scone_tx = optax.inject_hyperparams(optax.adamw)(
+            learning_rate=scone_lr, weight_decay=0.01)
         self._depth_step = None
         self._scone_step = None
+        self._parallel_scone_step = None
+
+    def bind_scene(self, cfg: G.GridConfig, table: R.CellIndexTable):
+        """Bind the current scene's cell tables. The compiled occupancy and
+        scone-step programs take the tables as ARGUMENTS, so switching scenes
+        never invalidates them (same shapes => same program)."""
+        self._tables = R.device_cell_tables(
+            cfg, table, self.params.get("prediction_neighborhood_size", 3.0))
+
+    def occupancy_field(self, occ_vars, proxy, surface, prediction_camera, key,
+                        **kw):
+        return self._occ_impl(occ_vars, proxy, surface, self._tables,
+                              prediction_camera, key, **kw)
+
+    # -- learning-rate schedule ---------------------------------------------
+    def update_learning_rates(self, epoch: int):
+        """Apply cumulative epoch drops to the max lr (reference
+        train_macarons.py:1459-1468 on resume, :1548-1557 in-loop — one factor
+        per listed epoch <= current)."""
+        if not self.schedule_lr:
+            return
+        self.depth_max_lr = self.depth_base_lr * self.lr_factor ** sum(
+            1 for e in self.depth_lr_epochs if epoch >= e)
+        self.scone_max_lr = self.scone_base_lr * self.lr_factor ** sum(
+            1 for e in self.scone_lr_epochs if epoch >= e)
+
+    @staticmethod
+    def _warmup_rate(max_lr: float, step: int, warmup: int) -> float:
+        # WarmupConstantOpt.rate (reference utils.py:308-349): steps are
+        # 1-indexed, rate = lr * min(1, step / warmup).
+        return max_lr * min(1.0, step / max(warmup, 1))
+
+    def _set_lr(self, opt_state, lr: float):
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
 
     # -- depth optimizer step ------------------------------------------------
     def depth_train_step(self, depth_vars, opt_state, batch, alpha, key):
+        if self.schedule_lr:
+            self.depth_opt_steps += 1
+            self._set_lr(opt_state, self._warmup_rate(
+                self.depth_max_lr, self.depth_opt_steps, self.depth_warmup))
         if self._depth_step is None:
 
             @jax.jit
@@ -263,22 +331,30 @@ class MacaronsRuntime:
                          prediction_camera, close_mask, visited_cams,
                          visited_X, supervision_gains, field, key,
                          n_supervision: int, box_diag: float,
-                         cell_resolution: float):
+                         cell_resolution: float,
+                         n_cells_active: Optional[int] = None):
+        if self.schedule_lr:
+            self.scone_opt_steps += 1
+            self._set_lr(opt_state, self._warmup_rate(
+                self.scone_max_lr, self.scone_opt_steps, self.scone_warmup))
+        if n_cells_active is None:
+            n_cells_active = self.occ_curriculum_max_cells
         if self._scone_step is None:
 
             @jax.jit
-            def step(occ_vars, vis_vars, opt_state, proxy, surface,
+            def step(occ_vars, vis_vars, opt_state, proxy, surface, tables,
                      prediction_camera, close_mask, visited_R, visited_T,
                      visited_X, supervision_gains, X_world, harmonics, occ,
-                     valid, box_diag, cell_resolution, key):
+                     valid, box_diag, cell_resolution, n_cells_active, key):
                 k_occ, k_cov = jax.random.split(key)
 
                 def loss_fn(ps):
                     ov = {"params": ps["occ"]}
                     vv = {"params": ps["vis"]}
-                    proba, pred_mask, _ = self.occupancy_field(
-                        ov, proxy, surface, prediction_camera, k_occ,
+                    proba, pred_mask, _ = self._occ_impl_sup(
+                        ov, proxy, surface, tables, prediction_camera, k_occ,
                         supervision=True, eligible_override=close_mask,
+                        n_cells_active=n_cells_active,
                     )
                     sup = proxy.supervision_occ
                     err = jnp.where(pred_mask[:, None], (proba - sup) ** 2, 0.0)
@@ -310,10 +386,25 @@ class MacaronsRuntime:
             self._scone_step = step
         X_world, harmonics, occ, valid = field
         return self._scone_step(
-            occ_vars, vis_vars, opt_state, proxy, surface, prediction_camera,
-            close_mask, visited_cams.R, visited_cams.T, visited_X,
-            supervision_gains, X_world, harmonics, occ, valid,
-            jnp.asarray(box_diag), jnp.asarray(cell_resolution), key)
+            occ_vars, vis_vars, opt_state, proxy, surface, self._tables,
+            prediction_camera, close_mask, visited_cams.R, visited_cams.T,
+            visited_X, supervision_gains, X_world, harmonics, occ, valid,
+            jnp.asarray(box_diag), jnp.asarray(cell_resolution),
+            jnp.asarray(n_cells_active, jnp.int32), key)
+
+    # -- scene-data-parallel scone step (one scene per device) ---------------
+    def parallel_scone_train_step(self, occ_vars, vis_vars, opt_state, sb, key):
+        if self.schedule_lr:
+            self.scone_opt_steps += 1
+            self._set_lr(opt_state, self._warmup_rate(
+                self.scone_max_lr, self.scone_opt_steps, self.scone_warmup))
+        if self._parallel_scone_step is None:
+            from ..parallel.scene_dp import make_parallel_scone_step
+
+            self._parallel_scone_step = make_parallel_scone_step(
+                self, n_supervision=self.params.get(
+                    "n_proxy_point_for_occupancy_supervision", 6000))
+        return self._parallel_scone_step(occ_vars, vis_vars, opt_state, sb, key)
 
 
 # ---------------------------------------------------------------------------
@@ -373,17 +464,18 @@ def mapping_update(rt: MacaronsRuntime, scene: SceneState, depth, mask,
     return part_pcs, key
 
 
-def nbv_loop_step(rt: MacaronsRuntime, scene: SceneState, memory: Memory,
-                  memory_path: str, variables: MacaronsVariables,
-                  opt_states: Dict, key, freeze_scone: bool = False,
-                  warmup_phase: bool = False, online_learning: bool = True,
-                  surface_distance: Optional[float] = None):
-    """One full NBV iteration. Returns (variables, opt_states, losses, key)."""
+def decision_and_move(rt: MacaronsRuntime, scene: SceneState, memory: Memory,
+                      memory_path: str, variables: MacaronsVariables, key,
+                      warmup_phase: bool = False):
+    """Decision phase (no grad) + move & capture (reference loop part A,
+    train_macarons.py:161-342): depth inference -> mapping -> carving ->
+    occupancy field -> fused all-candidate NBV argmax -> interpolated move.
+
+    Returns (field, supervision_batch, supervision_alpha, box_diag, key)."""
     params = rt.params
     cam = scene.camera
     cam.fov_camera_0 = cam.fov_camera
 
-    # ---------- A. decision phase (no grad) ----------
     frames = memory.load_frame_sequence(
         memory_path, cam.n_frames_captured - 1, 1 + rt.dcfg.n_alpha)
     batch, alpha = create_batch_for_depth_model(rt.dcfg, frames, "inference")
@@ -415,16 +507,21 @@ def nbv_loop_step(rt: MacaronsRuntime, scene: SceneState, memory: Memory,
     X_cand = poses[:, :3]
     R_c, T_c = get_camera_RT(X_cand, poses[:, 3:])
     cand_cams = FoVCamera.create(R_c, T_c, zfar=rt.dcfg.zfar)
+    # Pad the candidate axis to a static bucket so the fused scorer compiles
+    # once per bucket, not once per neighbor count (valid-neighbor counts vary
+    # ~5-54 per pose). Gains are sliced back to the true count before argmax.
+    cand_cams, X_cand, n_cand = pad_candidates(
+        cand_cams, X_cand, params.get("nbv_candidate_bucket", 8))
 
     box_diag = float(np.linalg.norm(
         np.asarray(scene.cfg.x_max) - np.asarray(scene.cfg.x_min)))
     key, k_cov = jax.random.split(key)
     gains = rt.coverage_gains(
         variables.vis, *field, cand_cams, X_cand, cam.fov_camera_0,
-        box_diag, scene.cfg.resolution, rt.sensor_range, k_cov)
+        box_diag, scene.cfg.resolution, rt.sensor_range, k_cov)[:n_cand]
     next_idx = valid_nbrs[int(np.argmax(np.asarray(gains)))]
 
-    # ---------- B. move & supervise ----------
+    # Move & capture
     for step in range(1, cam.n_interpolation_steps + 1):
         cam.update_camera(next_idx, interpolation_step=step)
         capture_and_save(scene, memory, memory_path)
@@ -433,18 +530,15 @@ def nbv_loop_step(rt: MacaronsRuntime, scene: SceneState, memory: Memory,
         memory_path, cam.n_frames_captured - 1,
         rt.n_interpolation_steps + rt.dcfg.n_alpha_for_supervision)
     batch, alpha = create_batch_for_depth_model(rt.dcfg, frames, "supervision")
+    return field, batch, alpha, box_diag, key
 
-    key, k = jax.random.split(key)
-    if online_learning:
-        (variables_depth, opt_states["depth"], depth_loss, depth, mask,
-         err_mask) = rt.depth_train_step(
-            variables.depth, opt_states["depth"], batch, alpha, k)
-        variables = variables._replace(depth=variables_depth)
-    else:
-        depth_loss, depth, mask, err_mask, _, _, _ = rt.apply_depth_loss(
-            variables.depth, batch, alpha, k)
 
-    # Supervision signal: mapping updates + close-to-surface mask + pseudo-GT gains
+def build_supervision_signal(rt: MacaronsRuntime, scene: SceneState, depth,
+                             mask, err_mask, batch, key,
+                             surface_distance: Optional[float] = None):
+    """Mapping updates + close-to-surface mask + pseudo-GT coverage gains
+    (reference loop part B, train_macarons.py:376-444)."""
+    params = rt.params
     if surface_distance is None:
         surface_distance = 3 * scene.proxy_distance
     n_frames_sup = depth.shape[0]
@@ -470,22 +564,157 @@ def nbv_loop_step(rt: MacaronsRuntime, scene: SceneState, memory: Memory,
             surface_epsilon=params.get("surface_epsilon"))
         sup_gains[i] = float(gain)
 
+    close_mask = close_mask & (scene.proxy.out_of_field[:, 0] < 1.0)
+    return close_mask, jnp.asarray(sup_gains), key
+
+
+def nbv_loop_step(rt: MacaronsRuntime, scene: SceneState, memory: Memory,
+                  memory_path: str, variables: MacaronsVariables,
+                  opt_states: Dict, key, freeze_scone: bool = False,
+                  warmup_phase: bool = False, online_learning: bool = True,
+                  surface_distance: Optional[float] = None,
+                  n_cells_active: Optional[int] = None):
+    """One full NBV iteration. Returns (variables, opt_states, losses, key)."""
+    params = rt.params
+    field, batch, alpha, box_diag, key = decision_and_move(
+        rt, scene, memory, memory_path, variables, key,
+        warmup_phase=warmup_phase)
+
+    key, k = jax.random.split(key)
+    if online_learning:
+        (variables_depth, opt_states["depth"], depth_loss, depth, mask,
+         err_mask) = rt.depth_train_step(
+            variables.depth, opt_states["depth"], batch, alpha, k)
+        variables = variables._replace(depth=variables_depth)
+    else:
+        depth_loss, depth, mask, err_mask, _, _, _ = rt.apply_depth_loss(
+            variables.depth, batch, alpha, k)
+
+    close_mask, sup_gains, key = build_supervision_signal(
+        rt, scene, depth, mask, err_mask, batch, key, surface_distance)
+
     occ_loss = cov_loss = 0.0
     if online_learning and not freeze_scone:
-        close_mask = close_mask & (scene.proxy.out_of_field[:, 0] < 1.0)
-        visited_R = batch["R"]
-        visited_T = batch["T"]
-        visited_cams = FoVCamera.create(visited_R, visited_T, zfar=rt.dcfg.zfar)
+        visited_cams = FoVCamera.create(batch["R"], batch["T"],
+                                        zfar=rt.dcfg.zfar)
         visited_X = visited_cams.camera_center()
         key, k = jax.random.split(key)
         (occ_vars, vis_vars, opt_states["scone"], scone_loss, occ_loss,
          cov_loss) = rt.scone_train_step(
             variables.occ, variables.vis, opt_states["scone"], scene.proxy,
-            scene.surface_scene, cam.fov_camera_0, close_mask, visited_cams,
-            visited_X, jnp.asarray(sup_gains), field, k,
+            scene.surface_scene, scene.camera.fov_camera_0, close_mask,
+            visited_cams, visited_X, sup_gains, field, k,
             n_supervision=params.get("n_proxy_point_for_occupancy_supervision",
                                      6000),
-            box_diag=box_diag, cell_resolution=scene.cfg.resolution)
+            box_diag=box_diag, cell_resolution=scene.cfg.resolution,
+            n_cells_active=n_cells_active)
+        variables = variables._replace(occ=occ_vars, vis=vis_vars)
+        occ_loss, cov_loss = float(occ_loss), float(cov_loss)
+
+    losses = {"depth": float(depth_loss), "occ": occ_loss, "cov": cov_loss}
+    return variables, opt_states, losses, key
+
+
+def nbv_parallel_step(rt: MacaronsRuntime, scenes: List[SceneState],
+                      memories: List[Memory], memory_paths: List[str],
+                      variables: MacaronsVariables, opt_states: Dict, key,
+                      mesh=None, freeze_scone: bool = False,
+                      warmup_phase: bool = False, online_learning: bool = True,
+                      surface_distances: Optional[List[float]] = None,
+                      n_cells_active: Optional[int] = None):
+    """One scene-data-parallel NBV iteration over a group of scenes (reference
+    1-scene-per-GPU DDP, train_macarons.py:1374-1715).
+
+    Decision phases run per scene (host-orchestrated episode logic); the two
+    SUPERVISION train steps are single device programs over the whole group:
+    depth frames concatenate on the (sharded) batch axis, the scone step vmaps
+    per-scene losses over a (sharded) scene axis and means them — the mean's
+    gradient psum IS the reference's DDP allreduce."""
+    from ..parallel import scene_dp as SDP
+
+    params = rt.params
+    S = len(scenes)
+
+    # ---------- A. decision + move, per scene ----------
+    fields, batches, alphas, box_diags = [], [], [], []
+    for scene, memory, mp in zip(scenes, memories, memory_paths):
+        rt.bind_scene(scene.cfg, scene.cell_table)
+        field, batch, alpha, box_diag, key = decision_and_move(
+            rt, scene, memory, mp, variables, key, warmup_phase=warmup_phase)
+        fields.append(field)
+        batches.append(batch)
+        alphas.append(alpha)
+        box_diags.append(box_diag)
+
+    # ---------- B. ONE depth train step over all scenes' frames ----------
+    F = batches[0]["images"].shape[0]
+    big_batch = {k_: jnp.concatenate([b[k_] for b in batches], axis=0)
+                 for k_ in batches[0]}
+    big_alpha = {k_: jnp.concatenate([a[k_] for a in alphas], axis=0)
+                 for k_ in alphas[0]}
+    if mesh is not None:
+        # scene i's F contiguous frames land on device i
+        big_batch = SDP.shard_scene_axis(big_batch, mesh)
+        big_alpha = SDP.shard_scene_axis(big_alpha, mesh)
+    key, k = jax.random.split(key)
+    if online_learning:
+        (variables_depth, opt_states["depth"], depth_loss, depth, mask,
+         err_mask) = rt.depth_train_step(
+            variables.depth, opt_states["depth"], big_batch, big_alpha, k)
+        variables = variables._replace(depth=variables_depth)
+    else:
+        depth_loss, depth, mask, err_mask, _, _, _ = rt.apply_depth_loss(
+            variables.depth, big_batch, big_alpha, k)
+
+    # ---------- C. supervision signals, per scene ----------
+    scene_inputs = []
+    for i, scene in enumerate(scenes):
+        sl = slice(i * F, (i + 1) * F)
+        sub_batch = {k_: big_batch[k_][sl] for k_ in ("R", "T")}
+        sd = surface_distances[i] if surface_distances else None
+        close_mask, sup_gains, key = build_supervision_signal(
+            rt, scene, depth[sl], mask[sl], err_mask[sl], sub_batch, key, sd)
+        scene_inputs.append((close_mask, sup_gains))
+
+    occ_loss = cov_loss = 0.0
+    if online_learning and not freeze_scone:
+        if n_cells_active is None:
+            n_cells_active = rt.occ_curriculum_max_cells
+        Cp, Kp, KCp = SDP.group_pad_shapes(scenes)
+        per_scene = []
+        for i, scene in enumerate(scenes):
+            close_mask, sup_gains = scene_inputs[i]
+            X_world, harmonics, occ, valid = fields[i]
+            cam0 = scene.camera.fov_camera_0
+            tables = R.device_cell_tables(
+                scene.cfg, scene.cell_table,
+                params.get("prediction_neighborhood_size", 3.0))
+            per_scene.append({
+                "proxy": scene.proxy,
+                "surface": SDP.pad_grid_state(scene.surface_scene, Cp, Kp),
+                "tables": SDP.pad_cell_tables(tables, Cp, KCp),
+                "pred_R": cam0.R, "pred_T": cam0.T,
+                "close_mask": close_mask,
+                "visited_R": big_batch["R"][i * F:(i + 1) * F],
+                "visited_T": big_batch["T"][i * F:(i + 1) * F],
+                "visited_X": FoVCamera.create(
+                    big_batch["R"][i * F:(i + 1) * F],
+                    big_batch["T"][i * F:(i + 1) * F],
+                    zfar=rt.dcfg.zfar).camera_center(),
+                "sup_gains": sup_gains,
+                "X_world": X_world, "harmonics": harmonics, "occ": occ,
+                "valid": valid,
+                "box_diag": jnp.asarray(box_diags[i]),
+                "cell_resolution": jnp.asarray(scene.cfg.resolution),
+                "n_cells_active": jnp.asarray(n_cells_active, jnp.int32),
+            })
+        sb = SDP.stack_scene_group(per_scene)
+        if mesh is not None:
+            sb = SDP.shard_scene_axis(sb, mesh)
+        key, k = jax.random.split(key)
+        (occ_vars, vis_vars, opt_states["scone"], scone_loss, occ_loss,
+         cov_loss) = rt.parallel_scone_train_step(
+            variables.occ, variables.vis, opt_states["scone"], sb, k)
         variables = variables._replace(occ=occ_vars, vis=vis_vars)
         occ_loss, cov_loss = float(occ_loss), float(cov_loss)
 
@@ -496,15 +725,26 @@ def nbv_loop_step(rt: MacaronsRuntime, scene: SceneState, memory: Memory,
 def memory_depth_loop(rt: MacaronsRuntime, memory: Memory, memory_path: str,
                       variables: MacaronsVariables, opt_states: Dict, key,
                       rs: np.random.Generator):
-    """Depth replay on random past frames (reference memory_loop :550-573)."""
-    n_needed = rt.n_interpolation_steps + rt.dcfg.n_alpha_for_supervision
-    got = memory.get_random_frames_for_depth(
-        rs, memory_path, n_needed, exclude_traj=memory.current_trajectory())
+    """Depth replay: n_memory_samples random frames drawn independently across
+    ALL scene memories and past trajectories, trained in one batched step
+    (reference memory_loop :550-573 + get_random_batch_for_depth_model
+    macarons_utils.py:3248-3322)."""
+    n_samples = rt.params.get("n_memory_samples", 4)
+    # One supervision target needs its past alphas (+ optionally one future)
+    n_context = rt.dcfg.n_alpha + 1 + (
+        1 if rt.dcfg.use_future_frame_for_supervision else 0)
+    got = memory.sample_depth_replay(
+        rs, n_samples, n_context, exclude_traj=memory.current_trajectory())
     if got is None:
         return variables, opt_states, None, key
-    traj, last = got
-    frames = memory.load_frame_sequence(memory_path, last, n_needed, traj)
-    batch, alpha = create_batch_for_depth_model(rt.dcfg, frames, "supervision")
+    bs, als = [], []
+    for path, traj, last in got:
+        frames = memory.load_frame_sequence(path, last, n_context, traj)
+        b, a = create_batch_for_depth_model(rt.dcfg, frames, "supervision")
+        bs.append(b)
+        als.append(a)
+    batch = {k_: jnp.concatenate([b[k_] for b in bs], axis=0) for k_ in bs[0]}
+    alpha = {k_: jnp.concatenate([a[k_] for a in als], axis=0) for k_ in als[0]}
     key, k = jax.random.split(key)
     (depth_vars, opt_states["depth"], loss, *_rest) = rt.depth_train_step(
         variables.depth, opt_states["depth"], batch, alpha, k)
@@ -530,6 +770,18 @@ def memory_scone_loop(rt: MacaronsRuntime, scene: SceneState, memory: Memory,
     if got is None:
         return variables, opt_states, None, key
     traj, frame_nbs = got
+
+    # Replay curriculum: a random index capped by memory_max_curriculum_index
+    # (reference train_macarons.py:1227-1248)
+    n_poses = params.get("n_poses_in_trajectory", 100)
+    curr_dists = R.curriculum_sampling_distances(
+        max(n_poses, 2), scene.proxy_distance, scene.cfg.cell_size)
+    curr_cells = R.curriculum_sampling_cell_number(
+        max(n_poses, 2), rt.occ_curriculum_min_cells,
+        rt.occ_curriculum_max_cells)
+    max_ci = params.get("memory_max_curriculum_index", -1)
+    hi = len(curr_dists) if max_ci == -1 else min(max_ci, len(curr_dists))
+    ci = int(rs.integers(0, max(hi, 1)))
 
     # Fresh replay state over the same proxy layout
     replay_surface = G.empty_grid(scene.cfg)
@@ -564,7 +816,7 @@ def memory_scone_loop(rt: MacaronsRuntime, scene: SceneState, memory: Memory,
         score_threshold=params.get("score_threshold", 1.0))
 
     # Close-to-surface mask + pseudo-GT gains from the replayed world
-    surface_distance = 3 * scene.proxy_distance
+    surface_distance = float(curr_dists[ci])
     close_mask = jnp.zeros((replay_scene.proxy.points.shape[0],), bool)
     sup_gains = np.zeros((depth.shape[0],), np.float32)
     replay_scene.surface_scene = replay_scene.surface_scene._replace(
@@ -604,7 +856,8 @@ def memory_scone_loop(rt: MacaronsRuntime, scene: SceneState, memory: Memory,
         visited_cams, visited_X, jnp.asarray(sup_gains), field, k,
         n_supervision=params.get("n_proxy_point_for_occupancy_supervision",
                                  6000),
-        box_diag=box_diag, cell_resolution=scene.cfg.resolution)
+        box_diag=box_diag, cell_resolution=scene.cfg.resolution,
+        n_cells_active=int(curr_cells[ci]))
     variables = variables._replace(occ=occ_vars, vis=vis_vars)
     return variables, opt_states, float(scone_loss), key
 
@@ -661,6 +914,14 @@ def run_trajectory(rt: MacaronsRuntime, scene: SceneState, memory: Memory,
     for _ in range(1 + rt.dcfg.n_alpha):
         capture_and_save(scene, memory, memory_path)
 
+    # Occupancy-supervision curriculum over the trajectory (reference
+    # train_macarons.py:1105-1139)
+    curr_dists = R.curriculum_sampling_distances(
+        max(n_poses, 2), scene.proxy_distance, scene.cfg.cell_size)
+    curr_cells = R.curriculum_sampling_cell_number(
+        max(n_poses, 2), rt.occ_curriculum_min_cells,
+        rt.occ_curriculum_max_cells)
+
     losses_acc = {"depth": [], "occ": [], "cov": []}
     for pose_i in range(n_poses):
         if (params.get("recompute_surface_every_n_loop", 20) > 0
@@ -674,7 +935,9 @@ def run_trajectory(rt: MacaronsRuntime, scene: SceneState, memory: Memory,
         variables, opt_states, losses, key = nbv_loop_step(
             rt, scene, memory, memory_path, variables, opt_states, key,
             freeze_scone=freeze_scone, warmup_phase=warmup_phase,
-            online_learning=online_learning)
+            online_learning=online_learning,
+            surface_distance=float(curr_dists[pose_i]),
+            n_cells_active=int(curr_cells[pose_i]))
         for k_ in losses_acc:
             losses_acc[k_].append(losses[k_])
 
@@ -709,6 +972,91 @@ def run_trajectory(rt: MacaronsRuntime, scene: SceneState, memory: Memory,
     return variables, opt_states, losses_acc, key
 
 
+def run_trajectories_parallel(rt: MacaronsRuntime, scenes: List[SceneState],
+                              memories: List[Memory],
+                              memory_paths: List[str],
+                              variables: MacaronsVariables, opt_states: Dict,
+                              key, rs: np.random.Generator, n_poses: int,
+                              mesh=None, freeze_scone: bool = False,
+                              warmup_phase: bool = False,
+                              online_learning: bool = True,
+                              n_memory_loops: int = 0,
+                              remap_at: Optional[int] = None,
+                              verbose: bool = False):
+    """Explore one trajectory in each scene of a group, in lockstep, with the
+    supervision steps data-parallel over the group (one scene per device —
+    the reference's DDP layout)."""
+    params = rt.params
+    for scene in scenes:
+        cam = scene.camera
+        start = cam.get_random_valid_pose(rs, jnp.asarray(scene.mesh.verts),
+                                          proxy_points=scene.proxy.points)
+        cam.initialize(start)
+    for scene, memory, mp in zip(scenes, memories, memory_paths):
+        for _ in range(1 + rt.dcfg.n_alpha):
+            capture_and_save(scene, memory, mp)
+
+    curr_dists = [R.curriculum_sampling_distances(
+        max(n_poses, 2), s.proxy_distance, s.cfg.cell_size) for s in scenes]
+    curr_cells = R.curriculum_sampling_cell_number(
+        max(n_poses, 2), rt.occ_curriculum_min_cells,
+        rt.occ_curriculum_max_cells)
+
+    losses_acc = {"depth": [], "occ": [], "cov": []}
+    for pose_i in range(n_poses):
+        every = params.get("recompute_surface_every_n_loop", 20)
+        if every > 0 and pose_i > 0 and pose_i % every == 0:
+            for scene in scenes:
+                pts, valid = G.all_points(scene.surface_scene)
+                key, k = jax.random.split(key)
+                scene.surface_scene = G.fill_cells_progressive(
+                    scene.cfg, G.empty_grid(scene.cfg), k, pts, valid)
+
+        variables, opt_states, losses, key = nbv_parallel_step(
+            rt, scenes, memories, memory_paths, variables, opt_states, key,
+            mesh=mesh, freeze_scone=freeze_scone, warmup_phase=warmup_phase,
+            online_learning=online_learning,
+            surface_distances=[float(d[pose_i]) for d in curr_dists],
+            n_cells_active=int(curr_cells[pose_i]))
+        for k_ in losses_acc:
+            losses_acc[k_].append(losses[k_])
+
+        for _ in range(n_memory_loops):
+            variables, opt_states, _, key = memory_depth_loop(
+                rt, memories[0], memory_paths[0], variables, opt_states, key,
+                rs)
+
+        if online_learning and not freeze_scone:
+            for scene, memory, mp in zip(scenes, memories, memory_paths):
+                for _ in range(params.get("n_memory_scene_loops", 0)):
+                    rt.bind_scene(scene.cfg, scene.cell_table)
+                    variables, opt_states, _, key = memory_scone_loop(
+                        rt, scene, memory, mp, variables, opt_states, key, rs,
+                        n_replay_frames=rt.n_interpolation_steps)
+
+        if remap_at is not None and pose_i == remap_at:
+            for scene, memory, mp in zip(scenes, memories, memory_paths):
+                key = recompute_mapping(rt, scene, memory, mp, variables, key)
+
+        for scene in scenes:
+            cov, _ = G.scene_coverage(scene.cfg, scene.gt_scene,
+                                      scene.surface_scene)
+            scene.coverages.append(float(cov))
+        if verbose:
+            covs = [f"{s.coverages[-1]:.4f}" for s in scenes]
+            print(f"  pose {pose_i}: losses {losses} coverages {covs}")
+
+    for scene, memory, mp in zip(scenes, memories, memory_paths):
+        memory.save_surface_scene(mp, scene.surface_scene)
+        memory.save_occupancy_field(mp, scene.proxy)
+        cam = scene.camera
+        memory.save_poses(mp, memory.current_epoch,
+                          np.concatenate(cam.X_cam_history, 0),
+                          np.concatenate(cam.V_cam_history, 0),
+                          np.stack(cam.cam_idx_history, 0))
+    return variables, opt_states, losses_acc, key
+
+
 def run_training(params: Params, data_path: Optional[str] = None,
                  weights_dir: str = "weights/macarons",
                  memory_root: Optional[str] = None,
@@ -728,70 +1076,164 @@ def run_training(params: Params, data_path: Optional[str] = None,
     start_epoch = 0
     best_loss = float("inf")
     depth_losses_per_epoch: List[float] = []
-    resume_path = os.path.join(weights_dir, f"unvalidated_{name}")
+    all_train_losses: List[Dict] = []
     n_freeze = params.get("n_freeze_epochs", 0)
-    warmup_epochs = params.get("warmup_phase_epochs", 0)
+    # Reference key is `warmup_phase` (epoch count using carving pseudo-GT
+    # instead of predicted occ, train_macarons.py:1042)
+    warmup_epochs = params.get("warmup_phase",
+                               params.get("warmup_phase_epochs", 0))
 
-    rt = None
-    opt_states = None
-    all_train_losses = []
+    rt = MacaronsRuntime(params, model)
+    opt_states = {
+        "depth": rt.depth_tx.init(variables.depth["params"]),
+        "scone": rt.scone_tx.init({"occ": variables.occ["params"],
+                                   "vis": variables.vis["params"]}),
+    }
+
+    def _resolve_ckpt(p: str) -> str:
+        # Reference checkpoints live under weights/macarons and end in .pth
+        # (macarons_utils.py:316-319); ours are <path>.msgpack.
+        if p.endswith(".pth") or p.endswith(".msgpack"):
+            p = p.rsplit(".", 1)[0]
+        if not os.path.isabs(p) and not checkpoint_exists(p):
+            q = os.path.join(weights_dir, p)
+            if checkpoint_exists(q):
+                return q
+        return p
+
+    # -- initialization: pretrained weights or resume (reference
+    #    macarons_utils.initialize_macarons :323-415, train_macarons :1414-1468)
+    pretrained_path = params.get("pretrained_model_path")
+    if pretrained_path:
+        pretrained_path = _resolve_ckpt(pretrained_path)
+
+    def _load_pretrained():
+        nonlocal variables
+        if (params.get("pretrained", False) and pretrained_path
+                and checkpoint_exists(pretrained_path)):
+            variables, _ = load_macarons(pretrained_path, variables)
+            if verbose:
+                print(f"loaded pretrained weights from {pretrained_path}")
+            return True
+        return False
+
+    resume_path = os.path.join(weights_dir, f"unvalidated_{name}")
+    if params.get("start_from_scratch", True):
+        _load_pretrained()
+    elif checkpoint_exists(resume_path):
+        variables, opt_states, meta = load_macarons(resume_path, variables,
+                                                    opt_states)
+        start_epoch = int(meta.get("epoch", 0))
+        best_loss = float(meta.get("best_loss", best_loss))
+        all_train_losses = list(meta.get("train_losses", []))
+        depth_losses_per_epoch = [float(x)
+                                  for x in meta.get("depth_losses", [])]
+        rt.depth_opt_steps = int(meta.get("depth_opt_steps", 0))
+        rt.scone_opt_steps = int(meta.get("scone_opt_steps", 0))
+        if verbose:
+            print(f"resumed from {resume_path} at epoch {start_epoch}")
+    else:
+        raise FileNotFoundError(
+            f"start_from_scratch is false but no checkpoint at {resume_path}")
+
+    begin_frozen = n_freeze > 0 and start_epoch < n_freeze
     best_val_coverage = -1.0
     for epoch in range(start_epoch, params.get("epochs", 1)):
         t0 = time.time()
         epoch_losses = {"depth": [], "occ": [], "cov": []}
         freeze_scone = epoch < n_freeze
         warmup = epoch < warmup_epochs
+
+        # Unfreeze transition: reload pretrained weights, fresh optimizers,
+        # reset best loss (reference train_macarons.py:1525-1544).
+        if begin_frozen and not freeze_scone:
+            if verbose:
+                print(f"epoch {epoch}: unfreezing all weights")
+            _load_pretrained()
+            opt_states = {
+                "depth": rt.depth_tx.init(variables.depth["params"]),
+                "scone": rt.scone_tx.init({"occ": variables.occ["params"],
+                                           "vis": variables.vis["params"]}),
+            }
+            rt.depth_opt_steps = rt.scone_opt_steps = 0
+            best_loss = float("inf")
+            begin_frozen = False
+
+        rt.update_learning_rates(epoch)
+
         scene_indices = rs.permutation(len(dataset))
         if max_scenes_per_epoch:
             scene_indices = scene_indices[:max_scenes_per_epoch]
-        for si in scene_indices:
-            item = dataset[int(si)]
-            mirrored = ([a for a in range(2) if rs.random() < 0.5]
-                        if params.get("random_mirror_scenes", False) else None)
-            key, k_scene = jax.random.split(key)
-            scene = setup_scene(params, item, k_scene, mirrored_axes=mirrored)
-            if rt is None:
-                rt = MacaronsRuntime(params, model, scene.cfg, scene.cell_table)
-                opt_states = {
-                    "depth": rt.depth_tx.init(variables.depth["params"]),
-                    "scone": rt.scone_tx.init(
-                        {"occ": variables.occ["params"],
-                         "vis": variables.vis["params"]}),
-                }
-            else:
-                # Rebind the runtime's cell table to this scene's proxy layout
-                rt.occupancy_field = R.make_occupancy_field_fn(
-                    model.occ, scene.cfg, scene.cell_table,
-                    n_elev=params.get("view_state_n_elev", 7),
-                    n_azim=params.get("view_state_n_azim", 14),
-                    degree=params.get("harmonic_degree", 8),
-                    prediction_neighborhood_size=params.get(
-                        "prediction_neighborhood_size", 3.0),
-                    k_for_knn=params.get("k_for_knn", 16),
-                    max_cells=params.get("n_cell_per_occ_forward_pass", 12),
-                    cell_batch=params.get("occ_cell_batch", 2),
-                )
-                rt._scone_step = None
 
-            mem_root = memory_root or data_path
-            memory_path = os.path.join(mem_root, item["scene_name"],
-                                       "macarons_memory")
-            memory = Memory([memory_path], current_epoch=epoch,
-                            n_trajectories=params.get("n_memory_trajectories", 1))
-            variables, opt_states, traj_losses, key = run_trajectory(
-                rt, scene, memory, memory_path, variables, opt_states, key, rs,
-                n_poses=params.get("n_poses_in_trajectory", 100),
-                freeze_scone=freeze_scone, warmup_phase=warmup,
-                online_learning=params.get("online_learning", True),
-                n_memory_loops=params.get("n_memory_loops", 0),
-                remap_at=params.get("remap_at_pose"),
-                verbose=verbose,
-            )
+        # One Memory over ALL scene dirs: depth replay samples frames
+        # across scenes (reference Memory(scene_memory_paths=...) spans the
+        # whole train set, train_macarons.py:1489-1494)
+        mem_root = memory_root or data_path
+        mem_dir = params.get("memory_dir_name", "macarons_memory")
+        all_paths = [os.path.join(mem_root, dataset[i]["scene_name"], mem_dir)
+                     for i in range(len(dataset))]
+
+        # Scene-parallel group size: one scene per device (the reference's
+        # one scene per GPU, total_batch_size). 1 = sequential.
+        group = params.get("n_parallel_scenes", 1) or 1
+        mesh = None
+        if group > 1:
+            from ..parallel.mesh import make_mesh
+
+            n_dev = params.get("n_devices") or min(group, len(jax.devices()))
+            if group % n_dev != 0:  # scene axis must divide over the mesh
+                n_dev = 1
+            mesh = make_mesh(n_dev)
+
+        def make_scene(si):
+            item = dataset[int(si)]
+            # Random mirroring along the configured axes with
+            # symmetry_probability per axis (reference train_macarons.py:1070-1083)
+            mirror_axes = params.get("axis_to_mirror", [0, 1])
+            sym_p = params.get("symmetry_probability", 0.5)
+            mirrored = ([a for a in mirror_axes if rs.random() < sym_p]
+                        if params.get("random_mirror_scenes", True) else None)
+            ks = jax.random.fold_in(key, int(si))
+            scene = setup_scene(params, item, ks, mirrored_axes=mirrored)
+            mp = os.path.join(mem_root, item["scene_name"], mem_dir)
+            memory = Memory(all_paths, current_epoch=epoch,
+                            n_trajectories=params.get("n_memory_trajectories",
+                                                      1))
+            return item, scene, memory, mp
+
+        n_poses = params.get("n_poses_in_trajectory", 100)
+        common = dict(
+            freeze_scone=freeze_scone, warmup_phase=warmup,
+            online_learning=params.get("online_learning", True),
+            n_memory_loops=params.get("n_memory_loops", 0),
+            remap_at=params.get("remap_every_n_poses",
+                                params.get("remap_at_pose")),
+            verbose=verbose,
+        )
+        for g0 in range(0, len(scene_indices), group):
+            group_idx = scene_indices[g0 : g0 + group]
+            made = [make_scene(si) for si in group_idx]
+            if len(made) > 1:
+                items, scenes, memories, mps = zip(*made)
+                variables, opt_states, traj_losses, key = (
+                    run_trajectories_parallel(
+                        rt, list(scenes), list(memories), list(mps),
+                        variables, opt_states, key, rs, n_poses, mesh=mesh,
+                        **common))
+                lasts = [s.coverages[-1] for s in scenes]
+            else:
+                item, scene, memory, mp = made[0]
+                rt.bind_scene(scene.cfg, scene.cell_table)
+                variables, opt_states, traj_losses, key = run_trajectory(
+                    rt, scene, memory, mp, variables, opt_states, key, rs,
+                    n_poses=n_poses, **common)
+                lasts = [scene.coverages[-1]]
             for k_ in epoch_losses:
                 epoch_losses[k_] += traj_losses[k_]
             if verbose:
-                print(f"epoch {epoch} scene {item['scene_name']}: final "
-                      f"coverage {scene.coverages[-1]:.4f}")
+                names = [dataset[int(si)]["scene_name"] for si in group_idx]
+                print(f"epoch {epoch} scenes {names}: final coverages "
+                      f"{[f'{c:.4f}' for c in lasts]}")
 
         mean_depth = float(np.mean(epoch_losses["depth"])) if epoch_losses["depth"] else 0.0
         all_train_losses.append(
@@ -827,9 +1269,11 @@ def run_training(params: Params, data_path: Optional[str] = None,
                 if verbose:
                     print(f"epoch {epoch}: val coverage {val_coverage:.4f}")
 
-        meta = {"epoch": epoch, "depth_losses": depth_losses_per_epoch,
+        meta = {"epoch": epoch + 1, "depth_losses": depth_losses_per_epoch,
                 "train_losses": all_train_losses, "best_loss": best_loss,
-                "val_coverage": val_coverage}
+                "val_coverage": val_coverage,
+                "depth_opt_steps": rt.depth_opt_steps,
+                "scone_opt_steps": rt.scone_opt_steps}
 
         # Per-epoch loss curves JSON (reference losses_data_<model>.json dump,
         # train_macarons.py:1693-1712)
@@ -840,10 +1284,13 @@ def run_training(params: Params, data_path: Optional[str] = None,
                   "w") as f:
             _json.dump({"train_losses": all_train_losses,
                         "depth_losses": depth_losses_per_epoch}, f, indent=2)
+        # The rolling resume point carries the optimizer states
+        # (reference :1603-1612); the other flavors are weights-only.
         save_macarons(os.path.join(weights_dir, f"unvalidated_{name}"),
-                      variables, meta)
+                      variables, meta, opt_states=opt_states)
         if mean_depth < best_loss:
             best_loss = mean_depth
+            meta["best_loss"] = best_loss
             save_macarons(os.path.join(weights_dir, f"best_unval_{name}"),
                           variables, meta)
         if val_coverage is not None and val_coverage > best_val_coverage:
@@ -851,23 +1298,27 @@ def run_training(params: Params, data_path: Optional[str] = None,
             save_macarons(
                 os.path.join(weights_dir, f"coverage_validated_{name}"),
                 variables, meta)
-        save_macarons(os.path.join(weights_dir, f"epoch_{epoch}_{name}"),
-                      variables, meta)
+        if (epoch + 1) % params.get("save_model_every_n_epoch", 1) == 0 \
+                or epoch + 1 == params.get("epochs", 1):
+            save_macarons(os.path.join(weights_dir, f"epoch_{epoch}_{name}"),
+                          variables, meta)
 
         # Loss-peak rollback (reference reload_previous_model_if_bad_loss :1652-1688)
         thr = params.get("loss_peak_threshold", 0.015)
         if (len(depth_losses_per_epoch) >= 2
                 and depth_losses_per_epoch[-1]
                 > depth_losses_per_epoch[-2] + thr):
-            prev = os.path.join(weights_dir, f"epoch_{epoch - 1}_{name}")
-            from ..utils.checkpoint import checkpoint_exists
-
-            if checkpoint_exists(prev):
-                rolled, _ = load_macarons(prev, variables)
-                # Keep SCONE weights, restore depth only
-                variables = variables._replace(depth=rolled.depth)
-                if verbose:
-                    print(f"loss peak at epoch {epoch}: depth module rolled back")
+            # Most recent periodic checkpoint before this epoch
+            for prev_epoch in range(epoch - 1, -1, -1):
+                prev = os.path.join(weights_dir, f"epoch_{prev_epoch}_{name}")
+                if checkpoint_exists(prev):
+                    rolled, _ = load_macarons(prev, variables)
+                    # Keep SCONE weights, restore depth only
+                    variables = variables._replace(depth=rolled.depth)
+                    if verbose:
+                        print(f"loss peak at epoch {epoch}: depth module "
+                              f"rolled back to epoch {prev_epoch}")
+                    break
 
         if verbose:
             print(f"epoch {epoch} done in {time.time() - t0:.1f}s: "

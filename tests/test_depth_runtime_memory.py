@@ -166,9 +166,10 @@ def test_macarons_bundle(tmp_path):
     model = MM.create_macarons_model(params)
     variables = MM.init_macarons_variables(params, model, jax.random.PRNGKey(0))
     opt = MM.create_macarons_optimizer(params, variables)
+    opt_states = {"depth": opt.depth_opt_state, "scone": opt.scone_opt_state}
     path = str(tmp_path / "macarons_ckpt")
-    MM.save_macarons(path, variables, {"epoch": 3}, optimizer=opt)
-    v2, opt2, meta = MM.load_macarons(path, variables, optimizer=opt)
+    MM.save_macarons(path, variables, {"epoch": 3}, opt_states=opt_states)
+    v2, opt2, meta = MM.load_macarons(path, variables, opt_states=opt_states)
     assert meta["epoch"] == 3
     a = jax.tree_util.tree_leaves(variables.vis)[0]
     b = jax.tree_util.tree_leaves(v2.vis)[0]

@@ -26,6 +26,7 @@ TINY = dict(
     torch_seed=5, scene_scale_factor=1.0, macarons_model_name="test_mac",
     n_memory_loops=1, recompute_surface_every_n_loop=0,
     n_proxy_point_for_occupancy_supervision=200,
+    occ_curriculum_min_cells=2, occ_curriculum_max_cells=4,
 )
 
 
@@ -49,6 +50,35 @@ def scene_dir(tmp_path_factory):
     }
     (d / "settings.json").write_text(json.dumps(settings))
     return str(root)
+
+
+def test_warmup_schedule_rates():
+    """WarmupConstantOpt semantics + epoch drops (reference utils.py:308-349,
+    train_macarons.py:1447-1557)."""
+    from macarons_tpu.models.macarons import create_macarons_model
+
+    params = Params(dict(TINY, schedule_learning_rate=True,
+                         depth_learning_rate=1e-3, scone_learning_rate=1e-4,
+                         depth_warmup=4, scone_warmup=2,
+                         depth_lr_epochs=[2, 5], scone_lr_epochs=[3],
+                         lr_factor=0.1))
+    rt = TM.MacaronsRuntime(params, create_macarons_model(params))
+    # Warmup ramp: step/warmup until step >= warmup
+    rt.update_learning_rates(0)
+    assert np.isclose(rt._warmup_rate(rt.depth_max_lr, 1, rt.depth_warmup), 2.5e-4)
+    assert np.isclose(rt._warmup_rate(rt.depth_max_lr, 4, rt.depth_warmup), 1e-3)
+    assert np.isclose(rt._warmup_rate(rt.depth_max_lr, 9, rt.depth_warmup), 1e-3)
+    # Epoch drops are cumulative over listed epochs <= current
+    rt.update_learning_rates(2)
+    assert np.isclose(rt.depth_max_lr, 1e-4)
+    assert np.isclose(rt.scone_max_lr, 1e-4)  # scone drop is at 3
+    rt.update_learning_rates(5)
+    assert np.isclose(rt.depth_max_lr, 1e-5)
+    assert np.isclose(rt.scone_max_lr, 1e-5)
+    # Resume at epoch 5 reproduces the same drops without replay
+    rt2 = TM.MacaronsRuntime(params, create_macarons_model(params))
+    rt2.update_learning_rates(5)
+    assert np.isclose(rt2.depth_max_lr, rt.depth_max_lr)
 
 
 def test_online_training_smoke(scene_dir, tmp_path):
@@ -75,3 +105,46 @@ def test_online_training_smoke(scene_dir, tmp_path):
     assert (fdir / "surface" / "scene.npz").exists()
     assert (fdir / "occupancy" / "field.npz").exists()
     assert (fdir / "poses" / "epoch_0.npz").exists()
+
+    # ---- kill-and-resume: epoch 2 continues the loss history -------------
+    params2 = Params(dict(TINY, data_path=scene_dir, epochs=2,
+                          start_from_scratch=False,
+                          schedule_learning_rate=True, depth_warmup=2,
+                          scone_warmup=2))
+    variables2, train_losses2 = TM.run_training(
+        params2, weights_dir=str(tmp_path / "w"),
+        memory_root=str(tmp_path / "mem"), verbose=False,
+    )
+    # History from epoch 0 is preserved and epoch 1 appended
+    assert len(train_losses2) == 2
+    assert np.isclose(train_losses2[0]["depth"], train_losses[0]["depth"])
+    assert np.isfinite(train_losses2[1]["depth"])
+    meta = json.loads((tmp_path / "w" / "unvalidated_test_mac.json").read_text())
+    assert meta["epoch"] == 2
+    assert meta["depth_opt_steps"] > 0
+
+
+def test_pretrained_model_load(scene_dir, tmp_path):
+    """start_from_scratch + pretrained_model_path grafts the saved bundle
+    (reference load_pretrained_macarons macarons_utils.py:308-320)."""
+    from macarons_tpu.models.macarons import (
+        create_macarons_model, init_macarons_variables, load_macarons,
+        save_macarons,
+    )
+
+    params = Params(dict(TINY, data_path=scene_dir))
+    model = create_macarons_model(params)
+    src = init_macarons_variables(params, model, jax.random.PRNGKey(99))
+    wdir = tmp_path / "w"
+    wdir.mkdir()
+    save_macarons(str(wdir / "pretrained_macarons"), src, {})
+
+    params = Params(dict(
+        TINY, data_path=scene_dir, epochs=0, pretrained=True,
+        pretrained_model_path="pretrained_macarons.pth"))
+    variables, _ = TM.run_training(
+        params, weights_dir=str(wdir), memory_root=str(tmp_path / "mem2"),
+        verbose=False)
+    leaves_a = jax.tree_util.tree_leaves(src.occ)
+    leaves_b = jax.tree_util.tree_leaves(variables.occ)
+    assert all(np.allclose(a, b) for a, b in zip(leaves_a, leaves_b))

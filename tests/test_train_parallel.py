@@ -1,0 +1,65 @@
+"""Scene-data-parallel online training on the virtual 8-device mesh."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from macarons_tpu.config import Params
+from macarons_tpu.data.mesh_io import Mesh, save_obj
+from macarons_tpu.parallel.mesh import make_mesh
+from macarons_tpu.trainers import train_macarons as TM
+from test_rasterizer import cube_mesh
+from test_train_macarons import TINY
+
+
+@pytest.fixture(scope="module")
+def two_scene_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("scenes_par")
+    for name, scale in (("cube_a", 1.0), ("cube_b", 0.8)):
+        d = root / name
+        d.mkdir()
+        verts, faces = cube_mesh(scale)
+        colors = (np.asarray(verts) / (2 * scale)) + 0.5
+        save_obj(str(d / "mesh.obj"),
+                 Mesh(np.asarray(verts), np.asarray(faces),
+                      colors.astype(np.float32)))
+        settings = {
+            # Different grid dims on purpose: the group stacker must pad
+            "scene": {"x_min": [-1.3, -1.3, -1.3], "x_max": [1.3, 1.3, 1.3],
+                      "grid_l": 3, "grid_w": 3,
+                      "grid_h": 3 if name == "cube_a" else 2},
+            "camera": {"x_min": [-4, -4, -4], "x_max": [4, 4, 4],
+                       "pose_l": 4, "pose_w": 4, "pose_h": 4,
+                       "pose_n_elev": 3, "pose_n_azim": 8,
+                       "start_positions": []},
+            "contrast_factor": 1.0,
+        }
+        (d / "settings.json").write_text(json.dumps(settings))
+    return str(root)
+
+
+def test_scene_parallel_training(two_scene_dir, tmp_path):
+    """Both scenes of an epoch train in ONE group: depth step over the
+    concatenated (sharded) frame axis, scone step vmapped over the (sharded)
+    scene axis — the reference's 1-scene-per-GPU DDP (VERDICT r1 item 2)."""
+    params = Params(dict(
+        TINY, data_path=two_scene_dir, n_parallel_scenes=2, n_devices=2,
+        n_poses_in_trajectory=2, n_memory_loops=0, random_mirror_scenes=False,
+        macarons_model_name="par_mac",
+    ))
+    variables, train_losses = TM.run_training(
+        params, weights_dir=str(tmp_path / "w"),
+        memory_root=str(tmp_path / "mem"), verbose=False,
+    )
+    assert len(train_losses) == 1
+    l = train_losses[0]
+    assert np.isfinite(l["depth"]) and l["depth"] > 0
+    assert np.isfinite(l["occ"]) and np.isfinite(l["cov"])
+    # Both scenes produced memory trajectories
+    for name in ("cube_a", "cube_b"):
+        fdir = (tmp_path / "mem" / name / "macarons_memory" / "training" / "0")
+        assert len(list((fdir / "frames").glob("*.npz"))) == 3 + 2 * 2
+        assert (fdir / "surface" / "scene.npz").exists()
