@@ -1,16 +1,20 @@
-"""Headline benchmark: NBV candidate evaluations per second on the local chip.
+"""Headline benchmark: FULL NBV decision phases per second on the local chip.
 
-Measures the fused batched NBV scoring path (SconeVis forward + spherical-
-harmonics ray integration + coverage gain for ALL candidates in one launch) at
-the reference's production scale (seq_len=2048 points, 52 candidate cameras,
-full-size SconeVis), and compares it against a sequential per-candidate
-evaluation of the SAME model on the SAME hardware — i.e. the launch structure
-of the reference's NBV loop (Anttwo/MACARONS train_macarons.py:299-315,
-testers/shapenet.py:146-169), which scores candidates one launch at a time.
+Measures the complete decision step of the online loop at the reference's
+production scale — the occupancy field (full-size SconeOcc over the top-32
+cells of a 100k-proxy scene) + fused all-candidate coverage-gain scoring
+(full-size SconeVis, occ-weighted MC sampling, SH ray integration, 30 neighbor
+candidates) — and compares it against the reference's launch structure
+(Anttwo/MACARONS train_macarons.py:299-315: one launch per candidate).
+
+Timing discipline: NO host<->device transfer happens before or during the
+timed loops (a single d2h flips the tunneled TPU runtime into a synchronous
+dispatch mode with an ~84 ms per-launch floor; all device-constant tables are
+built host-side in numpy).
 
 Prints ONE JSON line:
-  {"metric": "nbv_candidate_evals_per_sec", "value": ..., "unit": "evals/s",
-   "vs_baseline": <fused rate / sequential-launch rate>}
+  {"metric": "nbv_decision_phases_per_sec", "value": ..., "unit": "phases/s",
+   "vs_baseline": <fused rate / sequential-candidate-launch rate>}
 """
 
 import json
@@ -19,13 +23,96 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
+def bench_decision_phase():
+    """Full decision phase at reference scale. Returns (fused_dt, seq_dt)."""
+    from macarons_tpu.models.scone import SconeOcc, SconeVis
+    from macarons_tpu.ops.geometry import FoVCamera, look_at_view_transform
+    from macarons_tpu.scene import grid as G, proxy as P, runtime as R
+
+    N, n_cand = 100_000, 30
+    cfg = G.make_grid_config((-10.0,) * 3, (10.0,) * 3, 6, 6, 4,
+                             resolution=0.5, feature_dim=1)
+    rs = np.random.default_rng(0)
+    pts_np = rs.uniform(-10, 10, (N, 3)).astype(np.float32)
+    table = R.build_cell_index_table(cfg, pts_np)  # host-side, no d2h
+    key = jax.random.PRNGKey(0)
+    prox = P.initialize_proxy_points(key, (-10.0,) * 3, (10.0,) * 3, N)
+    prox = prox._replace(
+        points=jnp.asarray(pts_np),
+        supervision_occ=(jax.random.uniform(key, (N, 1)) > 0.3).astype(jnp.float32),
+        out_of_field=(jax.random.uniform(jax.random.PRNGKey(2), (N, 1)) > 0.7
+                      ).astype(jnp.float32))
+    surface = G.fill_cells_progressive(
+        cfg, G.empty_grid(cfg), jax.random.PRNGKey(3),
+        jax.random.uniform(jax.random.PRNGKey(4), (20000, 3), minval=-9,
+                           maxval=9))
+    occ_model = SconeOcc()
+    occ_vars = occ_model.init(jax.random.PRNGKey(5), jnp.zeros((1, 128, 3)),
+                              jnp.zeros((1, 8, 3)), jnp.zeros((1, 8, 64)))
+    vis_model = SconeVis()
+    vis_vars = vis_model.init(jax.random.PRNGKey(6), jnp.zeros((1, 128, 4)),
+                              jnp.zeros((1, 128, 64)))
+
+    Rm, Tm = look_at_view_transform(dist=15.0, elev=jnp.array([30.0]),
+                                    azim=jnp.array([40.0]))
+    cam = FoVCamera.create(Rm, Tm, zfar=50.0)
+    Rc, Tc = look_at_view_transform(
+        dist=14.0, elev=jnp.linspace(-40, 40, n_cand),
+        azim=jnp.linspace(0, 348, n_cand))
+    cand_cams = FoVCamera.create(Rc, Tc, zfar=50.0)
+    X_cand = cand_cams.camera_center()
+
+    field_fn = R.make_occupancy_field_fn(occ_model, cfg, table, max_cells=32,
+                                         cell_batch=2)
+    score = R.make_coverage_gain_fn(vis_model, seq_len=2048)
+    box_diag = float(np.linalg.norm(np.asarray(cfg.x_max) - np.asarray(cfg.x_min)))
+
+    def decision(key):
+        k1, k2 = jax.random.split(key)
+        proba, mask, harm = field_fn(occ_vars, prox, surface, cam, k1)
+        field = R.assemble_scene_field(prox, proba, mask, harm)
+        return score(vis_vars, *field, cand_cams, X_cand, cam, box_diag,
+                     cfg.resolution, 60.0, k2)
+
+    def decision_seq(key):
+        # The reference's structure: occupancy field + ONE launch per candidate
+        k1, k2 = jax.random.split(key)
+        proba, mask, harm = field_fn(occ_vars, prox, surface, cam, k1)
+        field = R.assemble_scene_field(prox, proba, mask, harm)
+        outs = []
+        for c in range(n_cand):
+            cc = jax.tree_util.tree_map(lambda x: x[c : c + 1], cand_cams)
+            outs.append(score(vis_vars, *field, cc, X_cand[c : c + 1], cam,
+                              box_diag, cfg.resolution, 60.0,
+                              jax.random.fold_in(k2, c)))
+        return outs[-1]
+
+    decision(jax.random.PRNGKey(10)).block_until_ready()
+    n_iter = 20
+    t0 = time.perf_counter()
+    for i in range(n_iter):
+        out = decision(jax.random.PRNGKey(20 + i))
+    out.block_until_ready()
+    fused_dt = (time.perf_counter() - t0) / n_iter
+
+    decision_seq(jax.random.PRNGKey(11)).block_until_ready()
+    n_seq = 3
+    t0 = time.perf_counter()
+    for i in range(n_seq):
+        out = decision_seq(jax.random.PRNGKey(40 + i))
+    out.block_until_ready()
+    seq_dt = (time.perf_counter() - t0) / n_seq
+    return fused_dt, seq_dt
+
+
+def bench_scorer_micro():
     from macarons_tpu.models.scone import SconeVis, compute_coverage_gain
 
     seq_len, n_cam, n_harmonics = 2048, 52, 64
@@ -71,8 +158,12 @@ def main():
     seq_dt = (time.perf_counter() - t0) / n_seq_iter
     seq_rate = n_cam / seq_dt
 
-    log(f"fused: {fused_dt * 1e3:.2f} ms/52 cands -> {fused_rate:.0f} evals/s")
-    log(f"sequential: {seq_dt * 1e3:.2f} ms/52 cands -> {seq_rate:.0f} evals/s")
+    log(f"micro fused: {fused_dt * 1e3:.2f} ms/52 cands -> {fused_rate:.0f} evals/s")
+    log(f"micro sequential: {seq_dt * 1e3:.2f} ms/52 cands -> {seq_rate:.0f} evals/s")
+    return fused_rate, seq_rate
+
+
+def bench_depth_fps():
 
     # --- secondary: depth FPS at reference scale (stderr diagnostic) ---------
     try:
@@ -102,11 +193,27 @@ def main():
     except Exception as e:  # diagnostics must never break the headline metric
         log("depth FPS measurement failed:", repr(e))
 
+
+def main():
+    log("backend:", jax.default_backend())
+    # Headline FIRST: nothing before it may trigger a device->host transfer
+    fused_dt, seq_dt = bench_decision_phase()
+    log(f"decision phase fused: {fused_dt * 1e3:.2f} ms "
+        f"(occ field + 30-candidate scoring) -> {1.0 / fused_dt:.1f} phases/s")
+    log(f"decision phase sequential-candidates: {seq_dt * 1e3:.2f} ms "
+        f"-> {1.0 / seq_dt:.1f} phases/s")
+
+    try:
+        bench_scorer_micro()
+        bench_depth_fps()
+    except Exception as e:
+        log("diagnostics failed:", repr(e))
+
     print(json.dumps({
-        "metric": "nbv_candidate_evals_per_sec",
-        "value": round(fused_rate, 1),
-        "unit": "evals/s",
-        "vs_baseline": round(fused_rate / seq_rate, 2),
+        "metric": "nbv_decision_phases_per_sec",
+        "value": round(1.0 / fused_dt, 2),
+        "unit": "phases/s",
+        "vs_baseline": round(seq_dt / fused_dt, 2),
     }))
 
 

@@ -34,14 +34,15 @@ def _double_factorial(n: int) -> float:
     return out
 
 
-def _assoc_legendre_all(ct, st, max_l: int):
+def _assoc_legendre_all(ct, st, max_l: int, xp=jnp):
     """All P_l^m(cos theta) for 0 <= m <= l < max_l, Condon-Shortley included.
 
     ct = cos(theta), st = sin(theta) >= 0 (theta in [0, pi]).
     Returns dict {(l, m): array} — static Python dict built at trace time.
+    `xp` selects the array backend (jnp, or np for host-side constant tables).
     """
     P = {}
-    P[(0, 0)] = jnp.ones_like(ct)
+    P[(0, 0)] = xp.ones_like(ct)
     for m in range(1, max_l):
         # P_m^m = (-1)^m (2m-1)!! (sin theta)^m
         P[(m, m)] = ((-1.0) ** m) * _double_factorial(2 * m - 1) * (st ** m)
@@ -92,6 +93,40 @@ def real_spherical_harmonics(theta, phi, degree: int = 8):
                 ang = cos_m[m_abs] if m > 0 else sin_m[m_abs]
                 outs.append(N * ratio * ang * P[(l, m_abs)])
     return jnp.stack(outs, axis=-1)
+
+
+def real_spherical_harmonics_np(theta, phi, degree: int = 8):
+    """Host-side numpy twin of real_spherical_harmonics (identical math).
+
+    Used to build CONSTANT basis tables (e.g. the view-state harmonics grid).
+    Keeping such constants as host numpy matters: closing a jitted function
+    over a committed *device* array constant degrades the runtime's async
+    dispatch (measured: an einsum whose weights derive from a captured device
+    array flips all subsequent scan executions to a ~84 ms sync floor on the
+    tunneled TPU runtime, while numpy-literal captures stay at ~0.2 ms)."""
+    import numpy as np
+
+    theta = np.asarray(theta, np.float64)
+    phi = np.asarray(phi, np.float64)
+    ct = np.cos(theta)
+    st = np.sin(theta)
+    P = _assoc_legendre_all(ct, st, degree, xp=np)
+    cos_m = {m: np.cos(m * phi) for m in range(1, degree)}
+    sin_m = {m: np.sin(m * phi) for m in range(1, degree)}
+    outs = []
+    for l in range(degree):
+        N = math.sqrt((2 * l + 1) / (4 * math.pi))
+        for m in range(-l, l + 1):
+            m_abs = abs(m)
+            if m == 0:
+                outs.append(N * P[(l, 0)])
+            else:
+                ratio = math.sqrt(
+                    2.0 * math.factorial(l - m_abs) / math.factorial(l + m_abs)
+                )
+                ang = cos_m[m_abs] if m > 0 else sin_m[m_abs]
+                outs.append(N * ratio * ang * P[(l, m_abs)])
+    return np.stack(outs, axis=-1).astype(np.float32)
 
 
 def harmonics_from_directions(rays, degree: int = 8):

@@ -50,12 +50,22 @@ def sphere_grid_angles(n_elev: int, n_azim: int):
 def get_all_harmonics_under_degree(degree: int, n_elev: int, n_azim: int):
     """Harmonic basis evaluated on the sphere grid (reference scone_utils.py:714-738).
 
-    Returns (base_harmonics (degree^2, n_elev*n_azim), h_polar, h_azim).
+    Returns (base_harmonics (degree^2, n_elev*n_azim), h_polar, h_azim) as
+    HOST numpy arrays: these are constant tables that get closed over by
+    jitted programs, and capturing committed device arrays degrades the
+    runtime's async dispatch (see ops.harmonics.real_spherical_harmonics_np).
     """
-    h_elev, h_azim = sphere_grid_angles(n_elev, n_azim)
-    h_polar = -h_elev + np.pi / 2
-    z = real_spherical_harmonics(h_polar, h_azim, degree=degree)  # (n_values, H)
-    return z.T, h_polar, h_azim
+    from .harmonics import real_spherical_harmonics_np
+
+    elev = np.array(
+        [-np.pi / 2 + (i + 1) / (n_elev + 1) * np.pi for i in range(n_elev)
+         for _ in range(n_azim)], np.float64)
+    h_azim = np.array([2 * np.pi * j / n_azim for _ in range(n_elev)
+                       for j in range(n_azim)], np.float64)
+    h_polar = -elev + np.pi / 2
+    z = real_spherical_harmonics_np(h_polar, h_azim, degree=degree)
+    return (z.T.astype(np.float32), h_polar.astype(np.float32),
+            h_azim.astype(np.float32))
 
 
 def get_cameras_on_sphere(n_elev: int, n_azim: int, camera_dist: float,

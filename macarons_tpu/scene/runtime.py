@@ -63,24 +63,36 @@ def build_cell_index_table(cfg: GridConfig, proxy_points: np.ndarray,
 
     K_cell is rounded up to a multiple of `k_cell_bucket` so scenes with
     similar proxy densities share one compiled occupancy program instead of
-    each pinning its own exact max-count shape."""
+    each pinning its own exact max-count shape.
+
+    Pure host-side numpy on purpose: no device round-trip (host<->device syncs
+    stall the dispatch pipeline) and vectorized binning instead of a python
+    loop over all proxy points."""
     proxy_points = np.asarray(proxy_points)
-    cid = np.asarray(cell_index(cfg, jnp.asarray(proxy_points)))
+    # Same clamped flat cell id as grid.cell_index, in numpy
+    mn = np.asarray(cfg.x_min, np.float32)
+    sz = np.asarray(cfg.cell_size, np.float32)
+    idx3 = np.floor((proxy_points - mn) / sz).astype(np.int64)
+    dims = np.array([cfg.grid_l, cfg.grid_w, cfg.grid_h])
+    idx3 = np.clip(idx3, 0, dims - 1)
+    cid = (idx3[:, 0] * cfg.grid_w + idx3[:, 1]) * cfg.grid_h + idx3[:, 2]
     C = cfg.n_cells
     counts = np.bincount(cid, minlength=C)
     if k_cell is None:
         k_cell = int(counts.max())
         if k_cell_bucket > 1:
             k_cell = -(-k_cell // k_cell_bucket) * k_cell_bucket
+    # Vectorized per-cell slot assignment: stable sort by cell, rank = position
+    # within the cell's run
+    order = np.argsort(cid, kind="stable").astype(np.int64)
+    sorted_cid = cid[order]
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    rank = np.arange(len(cid)) - np.repeat(starts, counts)
+    keep = rank < k_cell
     slots = np.zeros((C, k_cell), np.int32)
     mask = np.zeros((C, k_cell), bool)
-    fill = np.zeros(C, np.int64)
-    for i, c in enumerate(cid):
-        f = fill[c]
-        if f < k_cell:
-            slots[c, f] = i
-            mask[c, f] = True
-            fill[c] = f + 1
+    slots[sorted_cid[keep], rank[keep]] = order[keep]
+    mask[sorted_cid[keep], rank[keep]] = True
 
     dims = np.array([cfg.grid_l, cfg.grid_w, cfg.grid_h])
     ids = np.arange(C)
@@ -125,7 +137,8 @@ _OCC_IMPL_CACHE: dict = {}
 
 def occupancy_field_impl(occ_model, n_elev: int = 7, n_azim: int = 14,
                          degree: int = 8, k_for_knn: int = 16,
-                         max_cells: int = 32, cell_batch: int = 4):
+                         max_cells: int = 32, cell_batch: int = 4,
+                         compute_dtype: Optional[str] = None):
     """The shared jitted occupancy-field program, cached per
     (model, view-state/harmonics/cell static config).
 
@@ -137,11 +150,16 @@ def occupancy_field_impl(occ_model, n_elev: int = 7, n_azim: int = 14,
     Cells are ranked by eligible-proxy count and the top `max_cells` are
     processed (the reference caps supervision passes similarly via
     n_cell_per_occ_forward_pass and skips empty cells).
+
+    compute_dtype='bfloat16' runs the SconeOcc forward in bf16 (params cast at
+    entry, output cast back to f32) — the MXU-native mixed precision for the
+    occupancy hot path. None keeps full f32.
     """
     cache_key = (occ_model, n_elev, n_azim, degree, k_for_knn, max_cells,
-                 cell_batch)
+                 cell_batch, compute_dtype)
     if cache_key in _OCC_IMPL_CACHE:
         return _OCC_IMPL_CACHE[cache_key]
+    cdtype = jnp.dtype(compute_dtype) if compute_dtype else None
 
     base_harmonics, h_polar, _ = get_all_harmonics_under_degree(degree, n_elev, n_azim)
     n_harmonics = degree * degree
@@ -156,6 +174,11 @@ def occupancy_field_impl(occ_model, n_elev: int = 7, n_azim: int = 14,
         neighbor_ids = tables.neighbor_ids
         centers = tables.centers
         N = proxy.points.shape[0]
+        model_vars = occ_vars
+        if cdtype is not None:
+            model_vars = jax.tree_util.tree_map(
+                lambda a: a.astype(cdtype) if jnp.issubdtype(
+                    a.dtype, jnp.floating) else a, occ_vars)
         occ_mask = proxy.supervision_occ[:, 0] > 0.0
         fov_mask = proxy.out_of_field[:, 0] < 1.0
         if eligible_override is not None:
@@ -185,36 +208,50 @@ def occupancy_field_impl(occ_model, n_elev: int = 7, n_azim: int = 14,
         # View-space permutation of the histogram grid for this camera (static math)
         perm = view_space_permutation(prediction_camera, n_elev, n_azim)
 
-        def per_cell(c):
-            c_slots = slots[c]  # (K_cell,)
-            c_mask = elig_per_slot[c]  # (K_cell,)
-            X_world = proxy.points[c_slots]
-            vs = proxy.view_states[c_slots]
+        # ---- stage 1: vectorized input prep for ALL selected cells ----------
+        # All gathers/normalizations happen OUTSIDE the model loop, producing
+        # stacked (M, ...) arrays; the scan then slices contiguous memory
+        # instead of re-gathering per iteration.
+        M = max_cells
+        c_slots = slots[top_cells]  # (M, K_cell)
+        masks_in = elig_per_slot[top_cells]  # (M, K_cell)
+        X_world = proxy.points[c_slots]  # (M, K_cell, 3)
+        vs = proxy.view_states[c_slots]  # (M, K_cell, V)
+        nb = neighbor_ids[top_cells]  # (M, 27)
+        pc_world = surface.points[nb].reshape(M, -1, 3)
+        pc_mask = surface.valid[nb].reshape(M, -1)
 
-            nb = neighbor_ids[c]  # (27,)
-            pc_world = surface.points[nb].reshape(-1, 3)
-            pc_mask = surface.valid[nb].reshape(-1)
+        diag = tables.pred_diag
+        centers_v = prediction_camera.world_to_view(centers[top_cells][None])[0]
+        Xv = prediction_camera.world_to_view(X_world)
+        Xn = normalize_points_in_prediction_box(Xv, centers_v[:, None, :], diag)
+        pcv = prediction_camera.world_to_view(pc_world)
+        pcn = normalize_points_in_prediction_box(pcv, centers_v[:, None, :],
+                                                 diag)
+        rot_vs = jnp.take(vs, perm, axis=-1)
+        vhs = compute_view_harmonics(rot_vs, base_harmonics, h_polar,
+                                     n_elev, n_azim)  # (M, K_cell, H)
+        # Enough surface context? (reference :1345 requires > 4*k_for_knn)
+        enough = jnp.sum(pc_mask, axis=-1) > 4 * k_for_knn
 
-            center = prediction_camera.world_to_view(centers[c][None, None, :])[0, 0]
-            diag = tables.pred_diag
+        if cdtype is not None:
+            pcn = pcn.astype(cdtype)
+            Xn = Xn.astype(cdtype)
+            vh_in = vhs.astype(cdtype)
+        else:
+            vh_in = vhs
 
-            Xv = prediction_camera.world_to_view(X_world[None])[0]
-            Xn = normalize_points_in_prediction_box(Xv, center, diag)
-            pcv = prediction_camera.world_to_view(pc_world[None])[0]
-            pcn = normalize_points_in_prediction_box(pcv, center, diag)
+        # ---- stage 2: the model over pre-staged per-cell slices -------------
+        def per_cell(args):
+            pcn_i, Xn_i, vh_i, m_i = args
+            return occ_model.apply(
+                model_vars, pcn_i[None], Xn_i[None], vh_i[None],
+                pc_mask=m_i[None])[0].astype(jnp.float32)
 
-            rot_vs = jnp.take(vs, perm, axis=-1)
-            vh = compute_view_harmonics(rot_vs[None], base_harmonics, h_polar,
-                                        n_elev, n_azim)[0]
-
-            # Enough surface context? (reference :1345 requires > 4*k_for_knn)
-            enough = jnp.sum(pc_mask) > 4 * k_for_knn
-            occ = occ_model.apply(occ_vars, pcn[None], Xn[None], vh[None],
-                                  pc_mask=pc_mask[None])[0]
-            occ = jnp.where(enough, occ, 0.0)
-            return occ[..., 0], vh, c_mask & enough
-
-        occs, vhs, masks = jax.lax.map(per_cell, top_cells, batch_size=cell_batch)
+        occs = jax.lax.map(per_cell, (pcn, Xn, vh_in, pc_mask),
+                           batch_size=cell_batch)[..., 0]  # (M, K_cell)
+        occs = jnp.where(enough[:, None], occs, 0.0)
+        masks = masks_in & enough[:, None]
         # Gate whole discarded cells
         masks = masks & cell_ok[:, None]
 
@@ -239,7 +276,8 @@ def make_occupancy_field_fn(occ_model, cfg: GridConfig, table: CellIndexTable,
                             n_elev: int = 7, n_azim: int = 14, degree: int = 8,
                             prediction_neighborhood_size: float = 3.0,
                             k_for_knn: int = 16, max_cells: int = 32,
-                            cell_batch: int = 4):
+                            cell_batch: int = 4,
+                            compute_dtype: Optional[str] = None):
     """Scene-bound wrapper over the shared occupancy program.
 
     Returns fn(occ_vars, proxy, surface, prediction_camera, key, ...) — same
@@ -247,7 +285,8 @@ def make_occupancy_field_fn(occ_model, cfg: GridConfig, table: CellIndexTable,
     compiled program whenever the table shapes match."""
     impl = occupancy_field_impl(occ_model, n_elev=n_elev, n_azim=n_azim,
                                 degree=degree, k_for_knn=k_for_knn,
-                                max_cells=max_cells, cell_batch=cell_batch)
+                                max_cells=max_cells, cell_batch=cell_batch,
+                                compute_dtype=compute_dtype)
     tables = device_cell_tables(cfg, table, prediction_neighborhood_size)
 
     def run(occ_vars, proxy, surface, prediction_camera, key, **kw):

@@ -209,6 +209,11 @@ class MacaronsRuntime:
             k_for_knn=params.get("k_for_knn", 16),
             max_cells=params.get("n_cell_per_occ_forward_pass", 12),
             cell_batch=params.get("occ_cell_batch", 2),
+            # bf16 is available via occ_compute_dtype but measured slightly
+            # SLOWER at reference scale on v5e-1 (0.87 vs 0.61 ms at 32 cells:
+            # the transformers are small enough that cast overhead dominates),
+            # so full f32 is the default.
+            compute_dtype=params.get("occ_compute_dtype"),
         )
         # Separate supervision program: the curriculum ramps the supervised
         # cell count up to occ_curriculum_max_cells (reference 5..20,
@@ -226,6 +231,7 @@ class MacaronsRuntime:
             k_for_knn=params.get("k_for_knn", 16),
             max_cells=self.occ_curriculum_max_cells,
             cell_batch=params.get("occ_cell_batch", 2),
+            compute_dtype=params.get("occ_supervision_compute_dtype"),
         )
         self._tables = None
         if cfg is not None and table is not None:
