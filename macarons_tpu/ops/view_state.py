@@ -93,7 +93,9 @@ def normalize_points_in_prediction_box(points, center, diag):
 
 def _bin_directions(ray_elev, ray_azim, n_elev: int, n_azim: int,
                     elev_upper_clamp: int):
-    """Shared nearest-bin index computation with reference rounding quirks.
+    """Shared nearest-bin index computation, bit-exact with the reference's
+    rounding/clamping quirks (torch-1.7 trunc floor_divide, asymmetric clamps,
+    below-pole wrap — scone_utils.py:825-849 and :908-925).
 
     elev_upper_clamp: n_elev - 1 for compute_view_state's asymmetric clamp
     (applied to raw idx >= n_elev), or n_elev // 2 for the view-space variant.
@@ -110,10 +112,20 @@ def _bin_directions(ray_elev, ray_azim, n_elev: int, n_azim: int,
                          idx_azim + 1, idx_azim)
 
     if elev_upper_clamp == n_elev - 1:
+        # compute_view_state variant (reference scone_utils.py:840-849):
+        # the lower clamp is `-n_elev // 2` — PYTHON FLOOR division, i.e. -4
+        # for n_elev=7, one below the bottom row. After the +n_elev//2 shift
+        # that row lands at -1 and the reference's explicit `indices %=
+        # n_candidates` WRAPS it into the top elevation rows; the final mod
+        # below reproduces exactly that.
         idx_elev = jnp.where(idx_elev >= n_elev, n_elev - 1, idx_elev)
+        lower = -((n_elev + 1) // 2)  # floor(-n_elev / 2)
     else:
+        # view-space variant (reference scone_utils.py:916-918) parenthesizes:
+        # -(n_elev // 2) = -3, symmetric
         idx_elev = jnp.where(idx_elev > elev_upper_clamp, elev_upper_clamp, idx_elev)
-    idx_elev = jnp.where(idx_elev < -(n_elev // 2), -(n_elev // 2), idx_elev)
+        lower = -(n_elev // 2)
+    idx_elev = jnp.where(idx_elev < lower, lower, idx_elev)
     idx_azim = jnp.where(idx_azim > n_azim // 2, -(n_azim // 2), idx_azim)
 
     idx_elev = idx_elev + n_elev // 2

@@ -242,7 +242,8 @@ class Camera:
     # -- capture ------------------------------------------------------------
     def capture_image(self, verts, faces, vert_colors=None, fov_camera=None,
                       lights: Optional[PointLights] = None,
-                      ambient_light_intensity: float = 1.0):
+                      ambient_light_intensity: float = 1.0,
+                      texture_atlas=None):
         """Render RGB + zbuf from the current camera (reference :2294-2337).
 
         Returns (images (1, H, W, 3), depth (1, H, W, 1), mask (1, H, W, 1)).
@@ -258,7 +259,8 @@ class Camera:
             )
         images, frags = render_mesh(
             verts, faces, cam, (self.image_height, self.image_width), lights,
-            vert_colors=vert_colors, background=1.0,
+            vert_colors=vert_colors, texture_atlas=texture_atlas,
+            background=1.0,
             # PT3D picks perspective-correct interpolation for FoV cameras by
             # default; the zbuf feeds carving/backprojection, so accuracy matters.
             perspective_correct=True,

@@ -104,9 +104,11 @@ def depth_cfg_from_params(params: Params) -> DepthBatchConfig:
 def setup_scene(params: Params, scene_item: Dict, key,
                 mirrored_axes: Optional[List[int]] = None) -> SceneState:
     """Load mesh + settings, build GT/surface grids + proxy field + camera."""
-    mesh = load_obj(scene_item["obj_path"])
+    mesh = load_obj(scene_item["obj_path"],
+                    create_texture_atlas=params.get("load_obj_textures", True),
+                    texture_atlas_size=params.get("texture_atlas_size", 4))
     verts = mesh.verts * params.get("scene_scale_factor", 1.0)
-    mesh = Mesh(verts, mesh.faces, mesh.vert_colors)
+    mesh = Mesh(verts, mesh.faces, mesh.vert_colors, mesh.texture_atlas)
     if mirrored_axes:
         mesh = mirror_mesh(mesh, mirrored_axes)
     s = scene_item["settings"]
@@ -423,9 +425,11 @@ def capture_and_save(scene: SceneState, memory: Memory, memory_path: str,
     cam = scene.camera
     colors = (jnp.asarray(scene.mesh.vert_colors)
               if scene.mesh.vert_colors is not None else None)
+    atlas = (jnp.asarray(scene.mesh.texture_atlas)
+             if scene.mesh.texture_atlas is not None else None)
     images, depth, mask = cam.capture_image(
         jnp.asarray(scene.mesh.verts), jnp.asarray(scene.mesh.faces),
-        vert_colors=colors,
+        vert_colors=colors, texture_atlas=atlas,
     )
     memory.save_frame(memory_path, cam.n_frames_captured - 1, images, depth,
                       mask, cam.fov_camera.R, cam.fov_camera.T, cam.zfar)
