@@ -1,0 +1,131 @@
+"""Pallas TPU kernel: per-tile rasterization (stage 2 of the binned rasterizer).
+
+The XLA binned path (ops.rasterizer._rasterize_single_binned) spends most of
+its time in the per-tile lax.map: (tiles x pixels x K faces) edge tests as a
+chain of HBM-bound elementwise ops. This kernel runs one screen tile per grid
+step with the tile's K pre-binned faces staged in VMEM: pixel coordinates are
+generated from the program id (no pixel-grid input), all (P, K) intermediates
+(edge functions, perspective barycentrics, z) live in VMEM/registers, and the
+winner reduction (first smallest-z face) happens in-kernel. Outputs are the
+per-tile zbuf, winning SLOT (into the tile's face list), and two barycentrics;
+the host maps slots back to global face ids with one cheap gather.
+
+Semantics match _rasterize_single_binned's per_tile exactly (top-left fill
+conventions, z > eps gate, first-minimum tie-break by face-list order).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 3.0e38
+
+
+def _tile_kernel(fv_ref, valid_ref, zbuf_ref, slot_ref, b0_ref, b1_ref, *,
+                 tile: int, TW: int, H: int, W: int,
+                 perspective_correct: bool, eps: float):
+    t = pl.program_id(0)
+    ty = t // TW
+    tx = t % TW
+    P = tile * tile
+
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    di = (pidx // tile).astype(jnp.float32)
+    dj = (pidx % tile).astype(jnp.float32)
+    s = float(min(H, W))
+    row = ty.astype(jnp.float32) * tile + di  # (P, 1)
+    col = tx.astype(jnp.float32) * tile + dj
+    # PT3D NDC pixel mapping (ops.geometry.ndc_pixel_grid)
+    px = W / s - 2.0 * col / (s - 1.0)
+    py = H / s - 2.0 * row / (s - 1.0)
+    pix_ok = (row < H) & (col < W)  # padded tiles spill past the image
+
+    def fr(k):
+        return fv_ref[0, k, :][None, :]  # (1, K)
+
+    x0, y0, z0 = fr(0), fr(1), fr(2)
+    x1, y1, z1 = fr(3), fr(4), fr(5)
+    x2, y2, z2 = fr(6), fr(7), fr(8)
+    valid = valid_ref[0, 0, :][None, :] > 0.0
+
+    area = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+    nondegen = jnp.abs(area) > eps
+    inv_area = jnp.where(nondegen, 1.0 / jnp.where(nondegen, area, 1.0), 0.0)
+
+    w0 = ((x1 - px) * (y2 - py) - (x2 - px) * (y1 - py)) * inv_area  # (P, K)
+    w1 = ((x2 - px) * (y0 - py) - (x0 - px) * (y2 - py)) * inv_area
+    w2 = 1.0 - w0 - w1
+    inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & valid & nondegen & pix_ok
+
+    if perspective_correct:
+        iw0 = w0 / z0
+        iw1 = w1 / z1
+        iw2 = w2 / z2
+        denom = iw0 + iw1 + iw2
+        denom = jnp.where(jnp.abs(denom) > eps, denom, eps)
+        b0 = iw0 / denom
+        b1 = iw1 / denom
+        z = b0 * z0 + b1 * z1 + (1.0 - b0 - b1) * z2
+    else:
+        b0, b1 = w0, w1
+        z = w0 * z0 + w1 * z1 + w2 * z2
+
+    inside = inside & (z > eps)
+    zm = jnp.where(inside, z, _BIG)
+    zmin = jnp.min(zm, axis=1, keepdims=True)  # (P, 1)
+    cand = (zm <= zmin) & inside
+    K = zm.shape[1]
+    # First minimum in face-list order wins (matches argmin semantics):
+    # smallest lane index among the minima (no cumsum in Pallas TPU)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (P, K), 1).astype(jnp.float32)
+    slot = jnp.min(jnp.where(cand, lane, _BIG), axis=1, keepdims=True)  # (P,1)
+    fm = (cand & (lane <= slot)).astype(jnp.float32)
+    b0s = jnp.sum(fm * b0, axis=1)
+    b1s = jnp.sum(fm * b1, axis=1)
+    hit = slot[:, 0] < _BIG / 2
+
+    zbuf_ref[0, 0, :] = jnp.where(hit, zmin[:, 0], -1.0)
+    slot_ref[0, 0, :] = jnp.where(hit, slot[:, 0], -1.0)
+    b0_ref[0, 0, :] = jnp.where(hit, b0s, 0.0)
+    b1_ref[0, 0, :] = jnp.where(hit, b1s, 0.0)
+
+
+@partial(jax.jit, static_argnames=("tile", "TW", "H", "W",
+                                   "perspective_correct", "interpret"))
+def pallas_rasterize_tiles(tile_fv, tile_valid, tile: int, TW: int, H: int,
+                           W: int, perspective_correct: bool = True,
+                           interpret: bool = False, eps: float = 1e-8):
+    """Rasterize all tiles. tile_fv (T, 9, K) f32 (x0 y0 z0 x1 y1 z1 x2 y2 z2
+    per binned face, K lanes); tile_valid (T, 1, K) f32 (1 = real face).
+
+    Returns (zbuf, slot, b0, b1), each (T, 1, P) (slot is f32, -1 = empty),
+    with P = tile*tile."""
+    T, _, K = tile_fv.shape
+    P = tile * tile
+    out_shape = [
+        jax.ShapeDtypeStruct((T, 1, P), jnp.float32),
+        jax.ShapeDtypeStruct((T, 1, P), jnp.float32),
+        jax.ShapeDtypeStruct((T, 1, P), jnp.float32),
+        jax.ShapeDtypeStruct((T, 1, P), jnp.float32),
+    ]
+    out_spec = pl.BlockSpec((1, 1, P), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_tile_kernel, tile=tile, TW=TW, H=H, W=W,
+                perspective_correct=perspective_correct, eps=eps),
+        out_shape=out_shape,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 9, K), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, K), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_spec, out_spec, out_spec, out_spec],
+        interpret=interpret,
+    )(tile_fv, tile_valid)

@@ -272,6 +272,107 @@ def _rasterize_single_binned(verts_proj, faces, image_size, tile: int,
     return Fragments(untile(ft), untile(zt), untile(bt, 3))
 
 
+@partial(jax.jit, static_argnames=("image_size", "tile", "max_faces_per_tile",
+                                   "perspective_correct"))
+def _rasterize_single_binned_pallas(verts_proj, faces, image_size, tile: int,
+                                    max_faces_per_tile: int,
+                                    perspective_correct: bool, face_mask=None,
+                                    eps: float = 1e-8):
+    """Binned rasterization with the per-tile stage as a Pallas kernel
+    (ops.pallas.tile_raster): same binning as _rasterize_single_binned, then
+    one VMEM-staged kernel instance per tile instead of the lax.map sweep."""
+    from .pallas.tile_raster import pallas_rasterize_tiles
+
+    H, W = image_size
+    F = faces.shape[0]
+    pad_h = (-H) % tile
+    pad_w = (-W) % tile
+    Hp, Wp = H + pad_h, W + pad_w
+    TH, TW = Hp // tile, Wp // tile
+    T = TH * TW
+
+    fv = verts_proj[faces]  # (F, 3, 3)
+    if face_mask is None:
+        face_mask = jnp.ones((F,), bool)
+    z_ok = jnp.all(fv[..., 2] > eps, axis=-1)
+    fx = fv[..., 0]
+    fy = fv[..., 1]
+    face_x_min = jnp.min(fx, axis=-1)
+    face_x_max = jnp.max(fx, axis=-1)
+    face_y_min = jnp.min(fy, axis=-1)
+    face_y_max = jnp.max(fy, axis=-1)
+
+    # Tile NDC bounds straight from the pixel mapping (x decreases with col)
+    s = min(H, W)
+    cols0 = jnp.arange(TW, dtype=verts_proj.dtype) * tile
+    rows0 = jnp.arange(TH, dtype=verts_proj.dtype) * tile
+    x_hi = W / s - 2.0 * cols0 / (s - 1)  # col 0 of each tile (max x)
+    x_lo = W / s - 2.0 * (cols0 + tile - 1) / (s - 1)
+    y_hi = H / s - 2.0 * rows0 / (s - 1)
+    y_lo = H / s - 2.0 * (rows0 + tile - 1) / (s - 1)
+    tile_x_max = jnp.tile(x_hi, TH)
+    tile_x_min = jnp.tile(x_lo, TH)
+    tile_y_max = jnp.repeat(y_hi, TW)
+    tile_y_min = jnp.repeat(y_lo, TW)
+
+    slack = 2.0 / (s - 1)
+    neg_big = jnp.float32(-1e18)
+    K = min(max_faces_per_tile, F)
+    K = -(-K // 128) * 128  # lane-align the face axis
+    ok_face = face_mask & z_ok
+
+    def overlap_vs(xmin_t, xmax_t, ymin_t, ymax_t, fxm, fxM, fym, fyM, fok):
+        return ((fxm <= xmax_t[:, None] + slack)
+                & (fxM >= xmin_t[:, None] - slack)
+                & (fym <= ymax_t[:, None] + slack)
+                & (fyM >= ymin_t[:, None] - slack) & fok)
+
+    overlap = overlap_vs(tile_x_min, tile_x_max, tile_y_min, tile_y_max,
+                         face_x_min[None, :], face_x_max[None, :],
+                         face_y_min[None, :], face_y_max[None, :],
+                         ok_face[None, :])
+    # K smallest overlapping face indices per tile. The (T, F) top_k is now
+    # the dominant cost of this path (~29 of 32 ms at 50k faces on v5e-1);
+    # measured alternatives (cumsum+scatter, cumsum+searchsorted, two-level
+    # coarse/fine binning) all came out slower or overflow-lossy on TPU.
+    scores = jnp.where(overlap,
+                       -jnp.arange(F, dtype=jnp.float32)[None, :], neg_big)
+    top_scores, tile_faces = jax.lax.top_k(scores, min(K, F))
+    if K > F:
+        tile_faces = jnp.pad(tile_faces, ((0, 0), (0, K - F)))
+        top_scores = jnp.pad(top_scores, ((0, 0), (0, K - F)),
+                             constant_values=neg_big)
+    tile_valid = top_scores > neg_big / 2
+
+    # Stage per-tile face data: (T, 9, K)
+    flat = fv.reshape(F, 9)  # x0 y0 z0 x1 y1 z1 x2 y2 z2
+    tile_fv = jnp.moveaxis(flat[tile_faces], -1, 1)  # (T, 9, K)
+    zbuf_t, slot_t, b0_t, b1_t = pallas_rasterize_tiles(
+        tile_fv, tile_valid.astype(jnp.float32)[:, None, :], tile, TW, H, W,
+        perspective_correct=perspective_correct,
+        interpret=(jax.default_backend() == "cpu"))
+    zbuf_t, slot_t, b0_t, b1_t = (x[:, 0, :] for x in
+                                  (zbuf_t, slot_t, b0_t, b1_t))
+
+    # slot -> global face id
+    slot_i = jnp.maximum(slot_t.astype(jnp.int32), 0)
+    face_id = jnp.take_along_axis(tile_faces, slot_i, axis=1)
+    hit = slot_t >= 0
+    face_id = jnp.where(hit, face_id, -1)
+    b0 = jnp.where(hit, b0_t, 0.0)
+    b1 = jnp.where(hit, b1_t, 0.0)
+    bary = jnp.stack((b0, b1, jnp.where(hit, 1.0 - b0 - b1, 0.0)), axis=-1)
+
+    def untile(x, channels=None):
+        if channels is None:
+            x = x.reshape(TH, TW, tile, tile).transpose(0, 2, 1, 3)
+            return x.reshape(Hp, Wp)[:H, :W]
+        x = x.reshape(TH, TW, tile, tile, channels).transpose(0, 2, 1, 3, 4)
+        return x.reshape(Hp, Wp, channels)[:H, :W]
+
+    return Fragments(untile(face_id), untile(zbuf_t), untile(bary, 3))
+
+
 def project_verts(verts, camera):
     """World verts (V,3) -> (x_ndc, y_ndc, z_view) stack for one camera (no batch)."""
     view = camera.world_to_view(verts[None])[0]
@@ -298,11 +399,22 @@ def rasterize(verts, faces, camera, image_size, chunk: int = 256,
 
     F = faces.shape[0]
     if method == "auto":
-        method = "binned" if F > 4 * max_faces_per_tile else "scan"
+        if F > 4 * max_faces_per_tile:
+            # On TPU the Pallas per-tile kernel is ~2.3x the XLA binned path
+            # (32 vs 72 ms at 50k faces); on CPU it would run interpreted.
+            method = ("pallas" if jax.default_backend() == "tpu"
+                      else "binned")
+        else:
+            method = "scan"
 
     def one(i):
         cam_i = jax.tree_util.tree_map(lambda x: x[i : i + 1], camera)
         vp = project_verts(verts, cam_i)
+        if method == "pallas":
+            return _rasterize_single_binned_pallas(
+                vp, faces, tuple(image_size), tile, max_faces_per_tile,
+                perspective_correct, face_mask=face_mask,
+            )
         if method == "binned":
             return _rasterize_single_binned(
                 vp, faces, tuple(image_size), tile, max_faces_per_tile,

@@ -73,3 +73,19 @@ def test_auto_method_selection(rng):
     scan = ras.rasterize(verts, faces, cam, (32, 32), method="scan")
     np.testing.assert_array_equal(np.asarray(auto.pix_to_face),
                                   np.asarray(scan.pix_to_face))
+
+
+def test_pallas_tile_kernel_matches_scan(rng):
+    """The Pallas per-tile kernel (interpret mode on CPU) reproduces the
+    brute-force scan exactly: face ids, zbuf, barycentrics."""
+    verts, faces = random_mesh(rng, n_faces=120)
+    cam = _cam(dist=5.0)
+    a = ras.rasterize(verts, faces, cam, (37, 53), method="scan")
+    b = ras.rasterize(verts, faces, cam, (37, 53), method="pallas", tile=16)
+    hit = np.asarray(a.pix_to_face)[0] >= 0
+    same = np.asarray(a.pix_to_face)[0] == np.asarray(b.pix_to_face)[0]
+    assert same.mean() > 0.999
+    np.testing.assert_allclose(np.asarray(a.zbuf)[0][same & hit],
+                               np.asarray(b.zbuf)[0][same & hit], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a.bary)[0][same & hit],
+                               np.asarray(b.bary)[0][same & hit], atol=1e-4)
