@@ -217,26 +217,64 @@ class Camera:
                 return False
         return True
 
+    def _batch_validity(self, pose_indices: np.ndarray, verts,
+                        proxy_points=None) -> np.ndarray:
+        """Validity of MANY pose indices in one device launch (the per-pose
+        python loop over pose_is_valid costs ~3 launches + a host sync per
+        neighbor — batched, a whole neighbor set is one launch + one sync)."""
+        idx = np.asarray(pose_indices).reshape(-1, 5)
+        n_real = idx.shape[0]
+        # Pad to a static batch so the launch compiles once (neighbor counts
+        # vary 5..54 per pose)
+        pad = (-n_real) % 64
+        if pad:
+            idx = np.concatenate([idx, np.repeat(idx[:1], pad, axis=0)])
+        poses = self.pose_space.pose_from_idx(jnp.asarray(idx))
+        R, T = get_camera_RT(poses[:, :3], poses[:, 3:])
+        cams = FoVCamera.create(R, T, zfar=self.zfar)
+        B = idx.shape[0]
+        v = jnp.broadcast_to(jnp.asarray(verts)[None],
+                             (B, *np.shape(verts)))
+        ok = points_in_fov_mask(v, cams, self.image_height, self.image_width,
+                                fov_range=5 * self.zfar).any(axis=-1)
+        if proxy_points is not None:
+            p = jnp.broadcast_to(jnp.asarray(proxy_points)[None],
+                                 (B, *np.shape(proxy_points)))
+            ok = ok & points_in_fov_mask(
+                p, cams, self.image_height, self.image_width,
+                fov_range=5 * self.zfar).any(axis=-1)
+        ok = np.asarray(ok)
+        if self.occupied_poses is not None:
+            occ = self.occupied_poses[idx[:, 0], idx[:, 1], idx[:, 2]]
+            ok = ok & ~np.asarray(occ)
+        return ok[:n_real]
+
     def get_valid_neighbors(self, neighbor_indices, verts):
         """Valid unvisited neighbors; falls back to visited ones
-        (reference :2086-2115)."""
-        new_valid, visited = [], []
-        for idx in neighbor_indices:
-            if self.pose_history[self.pose_space.flat_index(idx)]:
-                visited.append(idx)
-            elif self.pose_is_valid(verts, idx):
-                new_valid.append(idx)
-        chosen = new_valid if new_valid else visited
+        (reference :2086-2115). Validity of the whole neighbor set is one
+        batched device call."""
+        idx = np.asarray(neighbor_indices).reshape(-1, 5)
+        flat = self.pose_space.flat_index(idx)
+        visited_m = self.pose_history[flat]
+        unvisited = idx[~visited_m]
+        new_valid = (unvisited[self._batch_validity(unvisited, verts)]
+                     if len(unvisited) else unvisited)
+        chosen = new_valid if len(new_valid) else idx[visited_m]
         return np.array(chosen).reshape(-1, 5)
 
     def get_random_valid_pose(self, rs: np.random.Generator, verts,
-                              proxy_points=None, max_tries: int = 1000):
-        """Rejection-sample a valid start pose (reference :2019-2051)."""
+                              proxy_points=None, max_tries: int = 1000,
+                              batch: int = 64):
+        """Rejection-sample a valid start pose (reference :2019-2051), testing
+        `batch` candidates per launch."""
         ps = self.pose_space
-        for _ in range(max_tries):
-            idx = np.array([rs.integers(0, d) for d in ps.dims], np.int64)
-            if self.pose_is_valid(verts, idx, proxy_points=proxy_points):
-                return idx
+        for _ in range(max(1, max_tries // batch)):
+            idx = np.stack([rs.integers(0, d, size=batch) for d in ps.dims],
+                           axis=-1).astype(np.int64)
+            ok = self._batch_validity(idx, verts, proxy_points=proxy_points)
+            hits = np.flatnonzero(ok)
+            if hits.size:
+                return idx[hits[0]]
         raise RuntimeError("no valid pose found")
 
     # -- capture ------------------------------------------------------------

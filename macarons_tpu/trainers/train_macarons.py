@@ -19,6 +19,7 @@ from __future__ import annotations
 import os
 import time
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Dict, List, Optional
 
 import jax
@@ -436,41 +437,62 @@ def capture_and_save(scene: SceneState, memory: Memory, memory_path: str,
     return images, depth, mask
 
 
+@partial(jax.jit, static_argnames=("cfg", "n_keep", "H", "W", "n_elev",
+                                   "n_azim"))
+def _mapping_update_scan(cfg, surface, proxy, depth, mask, err_mask, R_b, T_b,
+                         key, zfar, sensor_range, carving_tolerance,
+                         score_threshold, surface_distance, n_keep: int,
+                         H: int, W: int, n_elev: int, n_azim: int):
+    """All per-frame mapping/carving updates as ONE compiled scan (the
+    previous per-frame host loop issued ~8 launches per frame)."""
+
+    def body(carry, inp):
+        surface, proxy, key = carry
+        d, m, e, R1, T1 = inp
+        cam = FoVCamera.create(R1[None], T1[None], zfar=zfar)
+        pts, pmask = project_depth_back_to_3D(d[None], cam)
+        good = pmask[0] & m.reshape(-1) & e.reshape(-1)
+        key, k1, k2 = jax.random.split(key, 3)
+        idx, valid = random_subsample_mask(k1, good, n_keep)
+        part_pc = pts[0][idx]
+        surface = G.fill_cells(cfg, surface, k2, part_pc, valid)
+
+        fov = points_in_fov_mask(proxy.points[None], cam, H, W,
+                                 fov_range=sensor_range)[0]
+        sd = signed_distance_to_depth_maps(proxy.points, d[None], m[None],
+                                           cam, zfar)[0]
+        proxy = P.update_view_states(
+            proxy, cam.camera_center(), fov, n_elev, n_azim,
+            signed_distances=sd, distance_to_surface=surface_distance)
+        proxy = P.update_supervision_occ(
+            proxy, fov, sd, score_threshold=score_threshold,
+            tol=carving_tolerance)
+        proxy = P.update_out_of_field(proxy, fov)
+        return (surface, proxy, key), (part_pc, valid)
+
+    (surface, proxy, key), (pcs, valids) = jax.lax.scan(
+        body, (surface, proxy, key), (depth, mask, err_mask, R_b, T_b))
+    return surface, proxy, key, pcs, valids
+
+
 def mapping_update(rt: MacaronsRuntime, scene: SceneState, depth, mask,
                    err_mask, R_b, T_b, key, carving_tolerance: float = 0.0,
                    score_threshold: float = 1.0):
-    """Backproject depth -> fill surface grid -> carve proxies (one frame batch)."""
+    """Backproject depth -> fill surface grid -> carve proxies (one frame batch,
+    one device program)."""
     params = rt.params
-    n = depth.shape[0]
-    part_pcs = []
-    for i in range(n):
-        cam_i = FoVCamera.create(R_b[i : i + 1], T_b[i : i + 1],
-                                 zfar=rt.dcfg.zfar)
-        pts, pmask = project_depth_back_to_3D(depth[i : i + 1], cam_i)
-        good = pmask[0] & (mask[i].reshape(-1)) & (err_mask[i].reshape(-1))
-        key, k1, k2 = jax.random.split(key, 3)
-        n_keep = max(int(good.shape[0] * scene.camera.gathering_factor), 16)
-        idx, valid = random_subsample_mask(k1, good, n_keep)
-        part_pc = pts[0][idx]
-        scene.surface_scene = G.fill_cells(
-            scene.cfg, scene.surface_scene, k2, part_pc, valid)
-        part_pcs.append((part_pc, valid))
-
-        fov = points_in_fov_mask(scene.proxy.points[None], cam_i, rt.H, rt.W,
-                                 fov_range=rt.sensor_range)[0]
-        sd = signed_distance_to_depth_maps(
-            scene.proxy.points, depth[i : i + 1], mask[i : i + 1], cam_i,
-            rt.dcfg.zfar)[0]
-        scene.proxy = P.update_view_states(
-            scene.proxy, cam_i.camera_center(), fov,
-            params.get("view_state_n_elev", 7),
-            params.get("view_state_n_azim", 14),
-            signed_distances=sd,
-            distance_to_surface=3 * scene.proxy_distance)
-        scene.proxy = P.update_supervision_occ(
-            scene.proxy, fov, sd, score_threshold=score_threshold,
-            tol=carving_tolerance)
-        scene.proxy = P.update_out_of_field(scene.proxy, fov)
+    n_keep = max(int(rt.H * rt.W * scene.camera.gathering_factor), 16)
+    key, k = jax.random.split(key)
+    surface, proxy, _, pcs, valids = _mapping_update_scan(
+        scene.cfg, scene.surface_scene, scene.proxy,
+        depth, mask.astype(bool), err_mask.astype(bool),
+        R_b, T_b, k, jnp.asarray(rt.dcfg.zfar), jnp.asarray(rt.sensor_range),
+        jnp.asarray(carving_tolerance), jnp.asarray(score_threshold),
+        jnp.asarray(3.0 * scene.proxy_distance), n_keep, rt.H, rt.W,
+        params.get("view_state_n_elev", 7), params.get("view_state_n_azim", 14))
+    scene.surface_scene = surface
+    scene.proxy = proxy
+    part_pcs = [(pcs[i], valids[i]) for i in range(depth.shape[0])]
     return part_pcs, key
 
 
