@@ -23,6 +23,32 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 
+class CustomDataset:
+    """Legacy generic `.obj` walker with a file-size threshold filter
+    (reference CustomDataset.py:23-95 — dead in the reference's training
+    paths, kept for API completeness). Items are obj paths; meshes above
+    `memory_threshold` bytes are skipped."""
+
+    def __init__(self, data_path: str, memory_threshold: Optional[int] = None):
+        self.data_path = data_path
+        self.paths: List[str] = []
+        for root, _dirs, files in os.walk(data_path):
+            for f in sorted(files):
+                if not f.endswith(".obj"):
+                    continue
+                p = os.path.join(root, f)
+                if memory_threshold is not None \
+                        and os.path.getsize(p) > memory_threshold:
+                    continue
+                self.paths.append(p)
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, i) -> str:
+        return self.paths[i]
+
+
 class ShapeNetDataset:
     """Model-path dataset over the reference split JSONs
     ({"models": ["<synset>/<id>/model.obj", ...]})."""

@@ -209,11 +209,18 @@ class Memory:
         return out
 
     def get_random_scene_for_scone(self, rs: np.random.Generator,
-                                   scene_path: str, n_frames_needed: int,
+                                   scene_path: str, n_supervise: int,
+                                   max_build: int = 30,
+                                   random_poses: bool = False,
                                    exclude_traj: Optional[int] = None):
-        """Pick a trajectory with saved surface/occupancy snapshots + a random
-        depth sub-trajectory (reference get_random_scene_for_scone_model
-        :3324-3457). Returns (traj, depth_frame_numbers) or None."""
+        """Pick a replay trajectory + depth frames (reference
+        get_random_scene_for_scone_model :3324-3457 + memory_scene_loop
+        :600-630): a random-length consecutive BUILD sub-trajectory of
+        1..max_build depths rebuilds the partial world; then n_supervise
+        SUPERVISION depths starting at the last build depth, continuing
+        consecutively or (random_poses) drawn randomly from unused depths.
+
+        Returns (traj, build_frames, supervise_frames) or None."""
         candidates = []
         for t in range(self.n_trajectories):
             if exclude_traj is not None and t == exclude_traj:
@@ -223,10 +230,24 @@ class Memory:
             occf = os.path.join(scene_path, "training", str(t), "occupancy",
                                 "field.npz")
             n_d = self.n_depths(scene_path, t)
-            if os.path.exists(surf) and os.path.exists(occf) and n_d >= n_frames_needed:
+            if os.path.exists(surf) and os.path.exists(occf) \
+                    and n_d >= n_supervise + 1:
                 candidates.append((t, n_d))
         if not candidates:
             return None
         t, n_d = candidates[rs.integers(0, len(candidates))]
-        start = int(rs.integers(0, n_d - n_frames_needed + 1))
-        return t, list(range(start, start + n_frames_needed))
+        hi_build = max(min(max_build, n_d - n_supervise + 1), 1)
+        n_build = int(rs.integers(1, hi_build + 1))
+        start = int(rs.integers(0, n_d - (n_build + n_supervise) + 2))
+        build = list(range(start, start + n_build))
+        used = set(build)
+        supervise = [build[-1]]  # first supervision depth = last build depth
+        if random_poses:
+            pool = [i for i in range(n_d) if i not in used]
+            picks = rs.choice(len(pool), size=n_supervise - 1, replace=False) \
+                if len(pool) >= n_supervise - 1 else range(len(pool))
+            supervise += [pool[int(i)] for i in picks]
+        else:
+            supervise += [min(build[-1] + i, n_d - 1)
+                          for i in range(1, n_supervise)]
+        return t, build, supervise

@@ -477,10 +477,29 @@ def _mapping_update_scan(cfg, surface, proxy, depth, mask, err_mask, R_b, T_b,
 
 def mapping_update(rt: MacaronsRuntime, scene: SceneState, depth, mask,
                    err_mask, R_b, T_b, key, carving_tolerance: float = 0.0,
-                   score_threshold: float = 1.0):
+                   score_threshold: float = 1.0, frame_bucket: int = 4):
     """Backproject depth -> fill surface grid -> carve proxies (one frame batch,
-    one device program)."""
+    one device program).
+
+    The frame axis is padded to a multiple of `frame_bucket` with no-op
+    frames (camera far outside sensor range -> empty fov, masked pixels) so
+    the compiled scan serves every frame count — memory replay uses
+    variable-length depth bursts."""
     params = rt.params
+    n = depth.shape[0]
+    pad = (-n) % frame_bucket
+    if pad:
+        far = jnp.asarray([0.0, 0.0, 1e7])
+        depth = jnp.concatenate([depth, jnp.ones((pad, *depth.shape[1:]),
+                                                 depth.dtype)], axis=0)
+        mask = jnp.concatenate([mask, jnp.zeros((pad, *mask.shape[1:]),
+                                                bool)], axis=0)
+        err_mask = jnp.concatenate(
+            [err_mask, jnp.zeros((pad, *err_mask.shape[1:]), bool)], axis=0)
+        R_b = jnp.concatenate(
+            [R_b, jnp.broadcast_to(jnp.eye(3)[None], (pad, 3, 3))], axis=0)
+        T_b = jnp.concatenate(
+            [T_b, jnp.broadcast_to(far[None], (pad, 3))], axis=0)
     n_keep = max(int(rt.H * rt.W * scene.camera.gathering_factor), 16)
     key, k = jax.random.split(key)
     surface, proxy, _, pcs, valids = _mapping_update_scan(
@@ -492,7 +511,7 @@ def mapping_update(rt: MacaronsRuntime, scene: SceneState, depth, mask,
         params.get("view_state_n_elev", 7), params.get("view_state_n_azim", 14))
     scene.surface_scene = surface
     scene.proxy = proxy
-    part_pcs = [(pcs[i], valids[i]) for i in range(depth.shape[0])]
+    part_pcs = [(pcs[i], valids[i]) for i in range(n)]
     return part_pcs, key
 
 
@@ -790,18 +809,26 @@ def memory_scone_loop(rt: MacaronsRuntime, scene: SceneState, memory: Memory,
                       n_replay_frames: int = 4):
     """SCONE replay on a saved trajectory (reference memory_scene_loop :576-780).
 
-    Rebuilds a replay world from saved predicted depth maps of another
-    trajectory of the SAME scene (proxy layout is name-seeded, so the saved
-    snapshots and the current cell tables are layout-compatible), then runs one
-    scone supervision step with the depth module untouched.
+    Rebuilds a replay world from a random-length BUILD sub-trajectory of saved
+    predicted depth maps (reference get_random_scene_for_scone_model
+    :3360-3400, n_max_memory_depths_for_partial_pc), then supervises on
+    n_poses_in_memory_scene_loops further depths — consecutive, or random
+    past poses with random_poses_in_memory_scene_loops. The depth module is
+    untouched. Proxy layout is name-seeded, so saved snapshots and the current
+    cell tables are layout-compatible.
     """
     params = rt.params
+    n_sup = params.get("n_poses_in_memory_scene_loops", n_replay_frames)
     got = memory.get_random_scene_for_scone(
-        rs, memory_path, n_replay_frames,
+        rs, memory_path, n_sup,
+        max_build=params.get("n_max_memory_depths_for_partial_pc", 30),
+        random_poses=params.get("random_poses_in_memory_scene_loops", False),
         exclude_traj=memory.current_trajectory())
     if got is None:
         return variables, opt_states, None, key
-    traj, frame_nbs = got
+    traj, build_nbs, sup_nbs = got
+    frame_nbs = build_nbs + sup_nbs[1:]  # sup[0] == build[-1]
+    n_build = len(build_nbs)
 
     # Replay curriculum: a random index capped by memory_max_curriculum_index
     # (reference train_macarons.py:1227-1248)
@@ -847,13 +874,15 @@ def memory_scone_loop(rt: MacaronsRuntime, scene: SceneState, memory: Memory,
         carving_tolerance=params.get("carving_tolerance", 0.0),
         score_threshold=params.get("score_threshold", 1.0))
 
-    # Close-to-surface mask + pseudo-GT gains from the replayed world
+    # Supervision signal comes from the SUPERVISION frames only (the build
+    # frames just rebuilt the world); sup position 0 is the last build frame.
+    sup_pos = [n_build - 1] + list(range(n_build, len(frame_nbs)))
     surface_distance = float(curr_dists[ci])
     close_mask = jnp.zeros((replay_scene.proxy.points.shape[0],), bool)
-    sup_gains = np.zeros((depth.shape[0],), np.float32)
+    sup_gains = np.zeros((len(sup_pos),), np.float32)
     replay_scene.surface_scene = replay_scene.surface_scene._replace(
         features=jnp.zeros_like(replay_scene.surface_scene.features))
-    for i in range(depth.shape[0]):
+    for i in sup_pos:
         cam_i = FoVCamera.create(R_b[i : i + 1], T_b[i : i + 1],
                                  zfar=rt.dcfg.zfar)
         fov = points_in_fov_mask(replay_scene.proxy.points[None], cam_i, rt.H,
@@ -862,13 +891,23 @@ def memory_scone_loop(rt: MacaronsRuntime, scene: SceneState, memory: Memory,
             replay_scene.proxy.points, depth[i : i + 1], mask[i : i + 1],
             cam_i, rt.dcfg.zfar)[0]
         close_mask = close_mask | (fov & (jnp.abs(sd[:, 0]) < surface_distance))
-    for i, (pc, valid) in enumerate(part_pcs):
+    for j, i in enumerate(sup_pos):
+        pc, valid = part_pcs[i]
         gain, replay_scene.surface_scene = G.camera_coverage_gain(
             replay_scene.cfg, replay_scene.surface_scene, pc, valid,
             surface_epsilon=params.get("surface_epsilon"))
-        sup_gains[i] = float(gain)
+        sup_gains[j] = float(gain)
 
-    prediction_camera = FoVCamera.create(R_b[:1], T_b[:1], zfar=rt.dcfg.zfar)
+    # The online field can replace the replay-carved supervision occupancy
+    # (reference memory_supervise_with_online_field, train_macarons.py:1253)
+    if params.get("memory_supervise_with_online_field", False):
+        replay_scene.proxy = replay_scene.proxy._replace(
+            supervision_occ=scene.proxy.supervision_occ)
+
+    # Prediction camera = the most recent build view (reference :3440-3450)
+    p = n_build - 1
+    prediction_camera = FoVCamera.create(R_b[p : p + 1], T_b[p : p + 1],
+                                         zfar=rt.dcfg.zfar)
     key, k_occ = jax.random.split(key)
     proba, pred_mask, harmonics = rt.occupancy_field(
         variables.occ, replay_scene.proxy, replay_scene.surface_scene,
@@ -876,7 +915,8 @@ def memory_scone_loop(rt: MacaronsRuntime, scene: SceneState, memory: Memory,
     field = R.assemble_scene_field(replay_scene.proxy, proba, pred_mask,
                                    harmonics)
     close_mask = close_mask & (replay_scene.proxy.out_of_field[:, 0] < 1.0)
-    visited_cams = FoVCamera.create(R_b, T_b, zfar=rt.dcfg.zfar)
+    sp = jnp.asarray(sup_pos)
+    visited_cams = FoVCamera.create(R_b[sp], T_b[sp], zfar=rt.dcfg.zfar)
     visited_X = visited_cams.camera_center()
     box_diag = float(np.linalg.norm(
         np.asarray(scene.cfg.x_max) - np.asarray(scene.cfg.x_min)))
@@ -908,6 +948,8 @@ def recompute_mapping(rt: MacaronsRuntime, scene: SceneState, memory: Memory,
     )
     n_total = memory.n_frames(memory_path)
     n_alpha = rt.dcfg.n_alpha
+    n_saved = 0
+    every = params.get("save_depth_every_n_frame", 1)
     for last in range(n_alpha, n_total):
         frames = memory.load_frame_sequence(memory_path, last, 1 + n_alpha)
         batch, alpha = create_batch_for_depth_model(rt.dcfg, frames, "inference")
@@ -918,9 +960,13 @@ def recompute_mapping(rt: MacaronsRuntime, scene: SceneState, memory: Memory,
             rt, scene, depth, mask, err_mask, batch["R"], batch["T"], key,
             carving_tolerance=params.get("carving_tolerance", 0.0),
             score_threshold=params.get("score_threshold", 1.0))
-        if save_depths:
-            memory.save_depth(memory_path, last, depth, mask, err_mask,
+        if save_depths and (last - n_alpha) % every == 0:
+            # Reference saves every n-th processed frame under a SEQUENTIAL
+            # depth index (train_macarons.py:925) so replay frame numbers
+            # stay consecutive
+            memory.save_depth(memory_path, n_saved, depth, mask, err_mask,
                               batch["R"], batch["T"])
+            n_saved += 1
     return key
 
 

@@ -174,3 +174,42 @@ def test_macarons_bundle(tmp_path):
     a = jax.tree_util.tree_leaves(variables.vis)[0]
     b = jax.tree_util.tree_leaves(v2.vis)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_scone_replay_sampling(tmp_path, rng):
+    """Build/supervise split of the scone replay sampler (reference
+    get_random_scene_for_scone_model :3360-3400 + memory_scene_loop :616-627)."""
+    from macarons_tpu.scene.memory import Memory
+
+    sp = str(tmp_path / "scene")
+    mem = Memory([sp], current_epoch=1, n_trajectories=2)
+    # Trajectory 0 holds snapshots + 12 consecutive depths
+    d = np.zeros((1, 8, 8, 1), np.float32)
+    for nb in range(12):
+        mem.save_depth(sp, nb, d, d > 0, d > 0, np.eye(3)[None], np.zeros((1, 3)),
+                       traj=0)
+    np.savez(tmp_path / "scene" / "training" / "0" / "surface" / "scene.npz",
+             points=np.zeros((1, 1, 3)), features=np.zeros((1, 1, 1)),
+             valid=np.zeros((1, 1), bool))
+    np.savez(tmp_path / "scene" / "training" / "0" / "occupancy" / "field.npz",
+             x=np.zeros(1))
+
+    got = mem.get_random_scene_for_scone(rng, sp, n_supervise=3, max_build=5,
+                                         exclude_traj=1)
+    assert got is not None
+    traj, build, sup = got
+    assert traj == 0
+    assert 1 <= len(build) <= 5
+    assert build == list(range(build[0], build[0] + len(build)))
+    assert sup[0] == build[-1]  # first supervision depth = last build depth
+    assert len(sup) == 3
+    assert all(0 <= x < 12 for x in build + sup)
+
+    # random_poses mode draws the tail from unused depths
+    traj, build, sup = mem.get_random_scene_for_scone(
+        rng, sp, n_supervise=3, max_build=5, random_poses=True, exclude_traj=1)
+    assert sup[0] == build[-1]
+    assert all(x not in build for x in sup[1:])
+
+    # exclude the only populated trajectory -> nothing replayable
+    assert mem.get_random_scene_for_scone(rng, sp, 3, exclude_traj=0) is None

@@ -27,6 +27,11 @@ TINY = dict(
     n_memory_loops=1, recompute_surface_every_n_loop=0,
     n_proxy_point_for_occupancy_supervision=200,
     occ_curriculum_min_cells=2, occ_curriculum_max_cells=4,
+    # Exercise the scone replay on resume: 2 rotating trajectories, depths
+    # saved by the remap at pose 2, 1 replay step per pose in epoch 1
+    n_memory_trajectories=2, n_memory_scene_loops=1,
+    n_poses_in_memory_scene_loops=2, n_max_memory_depths_for_partial_pc=3,
+    remap_at_pose=2,
 )
 
 
