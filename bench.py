@@ -94,6 +94,17 @@ def bench_decision_phase():
                               jax.random.fold_in(k2, c)))
         return outs[-1]
 
+    def decision_full(key):
+        # Production default since r3: EVERY eligible cell predicted per phase
+        # (reference macarons_utils.py:1433-1441), via the on-device chunked
+        # while_loop over eligibility-ranked cells.
+        k1, k2 = jax.random.split(key)
+        proba, mask, harm = field_fn(occ_vars, prox, surface, cam, k1,
+                                     full_field=True)
+        field = R.assemble_scene_field(prox, proba, mask, harm)
+        return score(vis_vars, *field, cand_cams, X_cand, cam, box_diag,
+                     cfg.resolution, 60.0, k2)
+
     decision(jax.random.PRNGKey(10)).block_until_ready()
     n_iter = 20
     t0 = time.perf_counter()
@@ -102,6 +113,13 @@ def bench_decision_phase():
     out.block_until_ready()
     fused_dt = (time.perf_counter() - t0) / n_iter
 
+    decision_full(jax.random.PRNGKey(12)).block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(n_iter):
+        out = decision_full(jax.random.PRNGKey(60 + i))
+    out.block_until_ready()
+    full_dt = (time.perf_counter() - t0) / n_iter
+
     decision_seq(jax.random.PRNGKey(11)).block_until_ready()
     n_seq = 3
     t0 = time.perf_counter()
@@ -109,7 +127,7 @@ def bench_decision_phase():
         out = decision_seq(jax.random.PRNGKey(40 + i))
     out.block_until_ready()
     seq_dt = (time.perf_counter() - t0) / n_seq
-    return fused_dt, seq_dt
+    return fused_dt, seq_dt, full_dt
 
 
 def bench_scorer_micro():
@@ -194,21 +212,133 @@ def bench_depth_fps():
         log("depth FPS measurement failed:", repr(e))
 
 
+def bench_pose_loop():
+    """End-to-end online-loop pose rate: capture (4-step interpolated move,
+    one batched render of a ~51k-face scene) + decision phase + depth/scone
+    optimizer steps + supervision signal — the full nbv_loop_step at
+    reference scale (256x456 frames, 100k proxies, 2048-pt transformers)."""
+    import tempfile
+
+    from macarons_tpu.config import Params
+    from macarons_tpu.data.mesh_io import Mesh, save_obj
+    from macarons_tpu.data.scenes import SceneDataset
+    from macarons_tpu.models.macarons import (
+        create_macarons_model, init_macarons_variables,
+    )
+    from macarons_tpu.scene.memory import Memory
+    from macarons_tpu.trainers import train_macarons as TM
+
+    # UV-sphere scene mesh: 2 * 159 * 160 = 50,880 faces
+    n_t, n_p = 160, 161
+    theta = np.linspace(0.12, np.pi - 0.12, n_t)
+    phi = np.linspace(0, 2 * np.pi, n_p)[:-1]
+    tt, pp = np.meshgrid(theta, phi, indexing="ij")
+    r = 5.0
+    verts = np.stack([r * np.sin(tt) * np.cos(pp), r * np.cos(tt),
+                      r * np.sin(tt) * np.sin(pp)], -1).reshape(-1, 3)
+    idx = np.arange(n_t * (n_p - 1)).reshape(n_t, n_p - 1)
+    c0 = idx[:-1, :]
+    c1 = np.roll(idx, -1, axis=1)[:-1, :]
+    c2 = idx[1:, :]
+    c3 = np.roll(idx, -1, axis=1)[1:, :]
+    faces = np.concatenate([
+        np.stack([c0, c1, c2], -1).reshape(-1, 3),
+        np.stack([c1, c3, c2], -1).reshape(-1, 3)]).astype(np.int32)
+    colors = ((verts / r) * 0.5 + 0.5).astype(np.float32)
+
+    tmp = tempfile.mkdtemp(prefix="bench_scene_")
+    sdir = f"{tmp}/sphere"
+    import os
+
+    os.makedirs(sdir, exist_ok=True)
+    save_obj(f"{sdir}/mesh.obj",
+             Mesh(verts.astype(np.float32), faces, colors))
+    with open(f"{sdir}/settings.json", "w") as f:
+        json.dump({
+            "scene": {"x_min": [-6, -6, -6], "x_max": [6, 6, 6],
+                      "grid_l": 4, "grid_w": 4, "grid_h": 4},
+            "camera": {"x_min": [-9, -9, -9], "x_max": [9, 9, 9],
+                       "pose_l": 5, "pose_w": 5, "pose_h": 5,
+                       "pose_n_elev": 5, "pose_n_azim": 8,
+                       "start_positions": []},
+            "contrast_factor": 1.0,
+        }, f)
+
+    params = Params(dict(
+        image_height=256, image_width=456, znear=0.5, zfar=750.0,
+        n_alpha=2, n_alpha_for_supervision=2, alphas=[-2, -1],
+        n_interpolation_steps=4, n_proxy_points=100_000, seq_len=2048,
+        n_gt_surface_points=16384, surface_cell_resolution=0.25,
+        sensor_range=60.0, gathering_factor=0.05, learning_rate=1e-4,
+        data_augmentation=False, scene_scale_factor=1.0,
+        n_proxy_point_for_occupancy_supervision=6000,
+        data_path=tmp, load_obj_textures=False,
+    ))
+    dataset = SceneDataset(tmp)
+    model = create_macarons_model(params)
+    key = jax.random.PRNGKey(0)
+    variables = init_macarons_variables(params, model, jax.random.PRNGKey(1))
+    rs = np.random.default_rng(0)
+    scene = TM.setup_scene(params, dataset[0], key)
+    rt = TM.MacaronsRuntime(params, model, scene.cfg, scene.cell_table)
+    import optax  # noqa: F401  (tx built inside the runtime)
+
+    opt_states = {
+        "depth": rt.depth_tx.init(variables.depth["params"]),
+        "scone": rt.scone_tx.init({"occ": variables.occ["params"],
+                                   "vis": variables.vis["params"]}),
+    }
+    mp = f"{tmp}/mem"
+    memory = Memory([mp])
+    cam = scene.camera
+    cam.initialize(cam.get_random_valid_pose(
+        rs, scene.verts_dev, proxy_points=scene.proxy.points))
+    for _ in range(1 + rt.dcfg.n_alpha):
+        TM.capture_and_save(scene, memory, mp)
+
+    # Warmup pose compiles every program
+    variables, opt_states, _, key = TM.nbv_loop_step(
+        rt, scene, memory, mp, variables, opt_states, key)
+    n_iter = 3
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        variables, opt_states, losses, key = TM.nbv_loop_step(
+            rt, scene, memory, mp, variables, opt_states, key)
+    float(losses["depth"])  # sync
+    memory.flush()
+    dt = (time.perf_counter() - t0) / n_iter
+    log(f"online pose loop (capture+decision+supervision+train, 50,880 faces):"
+        f" {dt * 1e3:.1f} ms/pose -> {1.0 / dt:.2f} poses/s")
+    return 1.0 / dt
+
+
 def main():
     log("backend:", jax.default_backend())
     # Headline FIRST: nothing before it may trigger a device->host transfer
-    fused_dt, seq_dt = bench_decision_phase()
+    fused_dt, seq_dt, full_dt = bench_decision_phase()
     log(f"decision phase fused: {fused_dt * 1e3:.2f} ms "
         f"(occ field + 30-candidate scoring) -> {1.0 / fused_dt:.1f} phases/s")
+    log(f"decision phase FULL-FIELD (all eligible cells, production default): "
+        f"{full_dt * 1e3:.2f} ms -> {1.0 / full_dt:.1f} phases/s")
     log(f"decision phase sequential-candidates: {seq_dt * 1e3:.2f} ms "
         f"-> {1.0 / seq_dt:.1f} phases/s")
 
+    poses_per_sec = None
     try:
         bench_scorer_micro()
         bench_depth_fps()
+        poses_per_sec = bench_pose_loop()
     except Exception as e:
         log("diagnostics failed:", repr(e))
 
+    if poses_per_sec is not None:
+        print(json.dumps({
+            "metric": "online_nbv_poses_per_sec",
+            "value": round(poses_per_sec, 3),
+            "unit": "poses/s",
+            "vs_baseline": round(1.0, 2),
+        }))
+    # The driver records the LAST JSON line as the headline metric.
     print(json.dumps({
         "metric": "nbv_decision_phases_per_sec",
         "value": round(1.0 / fused_dt, 2),

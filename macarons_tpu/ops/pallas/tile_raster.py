@@ -4,14 +4,22 @@ The XLA binned path (ops.rasterizer._rasterize_single_binned) spends most of
 its time in the per-tile lax.map: (tiles x pixels x K faces) edge tests as a
 chain of HBM-bound elementwise ops. This kernel runs one screen tile per grid
 step with the tile's K pre-binned faces staged in VMEM: pixel coordinates are
-generated from the program id (no pixel-grid input), all (P, K) intermediates
-(edge functions, perspective barycentrics, z) live in VMEM/registers, and the
-winner reduction (first smallest-z face) happens in-kernel. Outputs are the
-per-tile zbuf, winning SLOT (into the tile's face list), and two barycentrics;
-the host maps slots back to global face ids with one cheap gather.
+generated from the program id (no pixel-grid input), all (P, k_chunk)
+intermediates (edge functions, perspective barycentrics, z) live in
+VMEM/registers, and the winner reduction (first smallest-z face) happens
+in-kernel. Outputs are the per-tile zbuf, winning SLOT (into the tile's face
+list), and two barycentrics; the host maps slots back to global face ids with
+one cheap gather.
+
+The face axis is processed in k_chunk-lane chunks on a second grid dimension
+(consecutive chunk steps revisit the tile's output block and fold a running
+minimum) — keeping the (P, k) working set small enough to stay
+VMEM/register-resident at K=1024+ instead of spilling.
 
 Semantics match _rasterize_single_binned's per_tile exactly (top-left fill
-conventions, z > eps gate, first-minimum tie-break by face-list order).
+conventions, z > eps gate, first-minimum tie-break by face-list order: strict
+< across chunks keeps the earliest chunk's winner, the lane-min keeps the
+earliest lane within a chunk).
 """
 
 from __future__ import annotations
@@ -27,9 +35,12 @@ _BIG = 3.0e38
 
 
 def _tile_kernel(fv_ref, valid_ref, zbuf_ref, slot_ref, b0_ref, b1_ref, *,
-                 tile: int, TW: int, H: int, W: int,
-                 perspective_correct: bool, eps: float):
-    t = pl.program_id(0)
+                 tile: int, TW: int, H: int, W: int, n_tiles: int,
+                 k_chunk: int, perspective_correct: bool, eps: float):
+    # n_tiles = tiles per image; grid steps beyond that are further cameras'
+    # tiles of the SAME screen layout (multi-camera capture batching).
+    t = pl.program_id(0) % n_tiles
+    c = pl.program_id(1)
     ty = t // TW
     tx = t % TW
     P = tile * tile
@@ -46,7 +57,7 @@ def _tile_kernel(fv_ref, valid_ref, zbuf_ref, slot_ref, b0_ref, b1_ref, *,
     pix_ok = (row < H) & (col < W)  # padded tiles spill past the image
 
     def fr(k):
-        return fv_ref[0, k, :][None, :]  # (1, K)
+        return fv_ref[0, k, :][None, :]  # (1, k_chunk)
 
     x0, y0, z0 = fr(0), fr(1), fr(2)
     x1, y1, z1 = fr(3), fr(4), fr(5)
@@ -57,7 +68,7 @@ def _tile_kernel(fv_ref, valid_ref, zbuf_ref, slot_ref, b0_ref, b1_ref, *,
     nondegen = jnp.abs(area) > eps
     inv_area = jnp.where(nondegen, 1.0 / jnp.where(nondegen, area, 1.0), 0.0)
 
-    w0 = ((x1 - px) * (y2 - py) - (x2 - px) * (y1 - py)) * inv_area  # (P, K)
+    w0 = ((x1 - px) * (y2 - py) - (x2 - px) * (y1 - py)) * inv_area  # (P, k)
     w1 = ((x2 - px) * (y0 - py) - (x0 - px) * (y2 - py)) * inv_area
     w2 = 1.0 - w0 - w1
     inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & valid & nondegen & pix_ok
@@ -88,24 +99,52 @@ def _tile_kernel(fv_ref, valid_ref, zbuf_ref, slot_ref, b0_ref, b1_ref, *,
     b0s = jnp.sum(fm * b0, axis=1)
     b1s = jnp.sum(fm * b1, axis=1)
     hit = slot[:, 0] < _BIG / 2
+    gslot = slot[:, 0] + c.astype(jnp.float32) * k_chunk  # global face slot
+    znew = zmin[:, 0]
 
-    zbuf_ref[0, 0, :] = jnp.where(hit, zmin[:, 0], -1.0)
-    slot_ref[0, 0, :] = jnp.where(hit, slot[:, 0], -1.0)
-    b0_ref[0, 0, :] = jnp.where(hit, b0s, 0.0)
-    b1_ref[0, 0, :] = jnp.where(hit, b1s, 0.0)
+    @pl.when(c == 0)
+    def _init():
+        zbuf_ref[0, 0, :] = jnp.where(hit, znew, -1.0)
+        slot_ref[0, 0, :] = jnp.where(hit, gslot, -1.0)
+        b0_ref[0, 0, :] = jnp.where(hit, b0s, 0.0)
+        b1_ref[0, 0, :] = jnp.where(hit, b1s, 0.0)
+
+    @pl.when(c > 0)
+    def _fold():
+        cur_z = zbuf_ref[0, 0, :]
+        cur_has = slot_ref[0, 0, :] >= 0.0
+        # Strict < : on a z tie across chunks the EARLIER chunk (lower face
+        # index) keeps the pixel, matching the single-pass argmin.
+        better = hit & (~cur_has | (znew < cur_z))
+        zbuf_ref[0, 0, :] = jnp.where(better, znew, cur_z)
+        slot_ref[0, 0, :] = jnp.where(better, gslot, slot_ref[0, 0, :])
+        b0_ref[0, 0, :] = jnp.where(better, b0s, b0_ref[0, 0, :])
+        b1_ref[0, 0, :] = jnp.where(better, b1s, b1_ref[0, 0, :])
 
 
-@partial(jax.jit, static_argnames=("tile", "TW", "H", "W",
-                                   "perspective_correct", "interpret"))
+@partial(jax.jit, static_argnames=("tile", "TW", "H", "W", "n_tiles",
+                                   "k_chunk", "perspective_correct",
+                                   "interpret"))
 def pallas_rasterize_tiles(tile_fv, tile_valid, tile: int, TW: int, H: int,
-                           W: int, perspective_correct: bool = True,
+                           W: int, n_tiles: int = 0, k_chunk: int = 256,
+                           perspective_correct: bool = True,
                            interpret: bool = False, eps: float = 1e-8):
     """Rasterize all tiles. tile_fv (T, 9, K) f32 (x0 y0 z0 x1 y1 z1 x2 y2 z2
     per binned face, K lanes); tile_valid (T, 1, K) f32 (1 = real face).
+    A multi-camera batch stacks each camera's tiles contiguously on the T axis
+    and passes n_tiles = tiles per image (0 = single camera, T tiles).
 
     Returns (zbuf, slot, b0, b1), each (T, 1, P) (slot is f32, -1 = empty),
     with P = tile*tile."""
     T, _, K = tile_fv.shape
+    if n_tiles <= 0:
+        n_tiles = T
+    k_chunk = min(k_chunk, K)
+    pad = (-K) % k_chunk
+    if pad:
+        tile_fv = jnp.pad(tile_fv, ((0, 0), (0, 0), (0, pad)))
+        tile_valid = jnp.pad(tile_valid, ((0, 0), (0, 0), (0, pad)))
+    C = (K + pad) // k_chunk
     P = tile * tile
     out_shape = [
         jax.ShapeDtypeStruct((T, 1, P), jnp.float32),
@@ -113,17 +152,18 @@ def pallas_rasterize_tiles(tile_fv, tile_valid, tile: int, TW: int, H: int,
         jax.ShapeDtypeStruct((T, 1, P), jnp.float32),
         jax.ShapeDtypeStruct((T, 1, P), jnp.float32),
     ]
-    out_spec = pl.BlockSpec((1, 1, P), lambda i: (i, 0, 0),
+    out_spec = pl.BlockSpec((1, 1, P), lambda i, j: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        partial(_tile_kernel, tile=tile, TW=TW, H=H, W=W,
-                perspective_correct=perspective_correct, eps=eps),
+        partial(_tile_kernel, tile=tile, TW=TW, H=H, W=W, n_tiles=n_tiles,
+                k_chunk=k_chunk, perspective_correct=perspective_correct,
+                eps=eps),
         out_shape=out_shape,
-        grid=(T,),
+        grid=(T, C),
         in_specs=[
-            pl.BlockSpec((1, 9, K), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 9, k_chunk), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, K), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 1, k_chunk), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[out_spec, out_spec, out_spec, out_spec],

@@ -272,18 +272,145 @@ def _rasterize_single_binned(verts_proj, faces, image_size, tile: int,
     return Fragments(untile(ft), untile(zt), untile(bt, 3))
 
 
+def _pairlist_bin(verts_proj_1, faces, image_size, tile: int, K: int,
+                  span_cap: int = 2, max_big_faces: int = 2048,
+                  eps: float = 1e-8, face_mask=None):
+    """Per-tile face lists WITHOUT the (T, F) top_k (VERDICT r2 item 3 /
+    ROADMAP 'sorted pair-list' lever).
+
+    Each face enumerates the <= span_cap x span_cap tiles its NDC bbox
+    overlaps as (tile, face) pairs; ONE sort of the F*E pair keys groups them
+    per tile with faces in ascending order (key = tile * F + face), and a
+    searchsorted + gather builds the (T, K) lists. Faces spanning more tiles
+    ("big": ground planes, close-up walls — capped at max_big_faces) go
+    through a small (T, max_big_faces) overlap test and are merged in by a
+    per-tile sort, preserving the ascending-face-id order the first-minimum
+    z tie-break depends on. Cost is O(F*E log(F*E)) instead of O(T*F log F).
+
+    Returns (tile_faces (T, K) int32, tile_valid (T, K) bool)."""
+    H, W = image_size
+    F = faces.shape[0]
+    pad_h = (-H) % tile
+    pad_w = (-W) % tile
+    TH, TW = (H + pad_h) // tile, (W + pad_w) // tile
+    T = TH * TW
+    s = min(H, W)
+    slack = 2.0 / (s - 1)
+    dtype = verts_proj_1.dtype
+
+    fv = verts_proj_1[faces]  # (F, 3, 3)
+    z_ok = jnp.all(fv[..., 2] > eps, axis=-1)
+    ok_face = z_ok if face_mask is None else (face_mask & z_ok)
+    fx = fv[..., 0]
+    fy = fv[..., 1]
+    fxm = jnp.min(fx, axis=-1)
+    fxM = jnp.max(fx, axis=-1)
+    fym = jnp.min(fy, axis=-1)
+    fyM = jnp.max(fy, axis=-1)
+
+    # NDC -> tile-index ranges (x = W/s - 2*col/(s-1); y likewise), widened by
+    # a small epsilon so float boundaries never DROP a tile the direct
+    # overlap comparison would keep (extra candidates are re-checked exactly).
+    def tile_range(lo_v, hi_v, extent, n_tiles):
+        # overlap iff lo_v <= t_hi(c)+slack and hi_v >= t_lo(c)-slack
+        c_max = jnp.floor(
+            (extent / s - lo_v + slack) * (s - 1) / 2.0 / tile + 1e-3)
+        c_min = jnp.ceil(
+            ((extent / s - hi_v - slack) * (s - 1) / 2.0 + 1.0) / tile
+            - 1.0 - 1e-3)
+        c_min = jnp.clip(c_min, 0, n_tiles - 1).astype(jnp.int32)
+        c_max = jnp.clip(c_max, 0, n_tiles - 1).astype(jnp.int32)
+        return c_min, c_max
+
+    cmin, cmax = tile_range(fxm, fxM, float(W), TW)
+    rmin, rmax = tile_range(fym, fyM, float(H), TH)
+    span_w = cmax - cmin + 1
+    span_h = rmax - rmin + 1
+    onscreen = ok_face & (span_w >= 1) & (span_h >= 1)
+    small = onscreen & (span_w <= span_cap) & (span_h <= span_cap)
+    big = onscreen & ~small
+
+    # Exact overlap re-check (the original comparison) for candidate tiles
+    cols0 = jnp.arange(TW, dtype=dtype) * tile
+    rows0 = jnp.arange(TH, dtype=dtype) * tile
+    x_hi = W / s - 2.0 * cols0 / (s - 1)
+    x_lo = W / s - 2.0 * (cols0 + tile - 1) / (s - 1)
+    y_hi = H / s - 2.0 * rows0 / (s - 1)
+    y_lo = H / s - 2.0 * (rows0 + tile - 1) / (s - 1)
+
+    E = span_cap * span_cap
+    e = jnp.arange(E, dtype=jnp.int32)
+    dy = (e // span_cap)[None, :]  # (1, E)
+    dx = (e % span_cap)[None, :]
+    r = rmin[:, None] + dy  # (F, E)
+    c = cmin[:, None] + dx
+    in_span = (dy < span_h[:, None]) & (dx < span_w[:, None]) & small[:, None]
+    r_c = jnp.clip(r, 0, TH - 1)
+    c_c = jnp.clip(c, 0, TW - 1)
+    hit = ((fxm[:, None] <= x_hi[c_c] + slack)
+           & (fxM[:, None] >= x_lo[c_c] - slack)
+           & (fym[:, None] <= y_hi[r_c] + slack)
+           & (fyM[:, None] >= y_lo[r_c] - slack) & in_span)
+    tile_id = r_c * TW + c_c  # (F, E)
+    face_id = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[:, None],
+                               (F, E))
+    sentinel = jnp.int32(T) * F
+    keys = jnp.where(hit, tile_id * F + face_id, sentinel).reshape(-1)
+    sorted_keys, sorted_faces = jax.lax.sort(
+        (keys, face_id.reshape(-1)), num_keys=1)
+
+    base = jnp.arange(T, dtype=jnp.int32) * F
+    start = jnp.searchsorted(sorted_keys, base)
+    end = jnp.searchsorted(sorted_keys, base + F)
+    idx = start[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]  # (T, K)
+    valid_small = idx < end[:, None]
+    small_faces = sorted_faces[jnp.minimum(idx, F * E - 1)]
+
+    # Big faces: compact then exact-test against every tile (tiny matrix)
+    B = min(max_big_faces, F)
+    neg_big = jnp.float32(-1e18)
+    big_scores = jnp.where(big, -jnp.arange(F, dtype=jnp.float32), neg_big)
+    top_s, big_ids = jax.lax.top_k(big_scores, B)  # ascending face ids
+    big_ok = top_s > neg_big / 2
+    tile_x_max = jnp.tile(x_hi, TH)
+    tile_x_min = jnp.tile(x_lo, TH)
+    tile_y_max = jnp.repeat(y_hi, TW)
+    tile_y_min = jnp.repeat(y_lo, TW)
+    big_hit = ((fxm[big_ids][None, :] <= tile_x_max[:, None] + slack)
+               & (fxM[big_ids][None, :] >= tile_x_min[:, None] - slack)
+               & (fym[big_ids][None, :] <= tile_y_max[:, None] + slack)
+               & (fyM[big_ids][None, :] >= tile_y_min[:, None] - slack)
+               & big_ok[None, :])  # (T, B)
+
+    # Merge (both lists ascend by face id) via one per-tile sort of K+B lanes
+    INVALID = jnp.int32(2**31 - 1)
+    merged = jnp.concatenate([
+        jnp.where(valid_small, small_faces, INVALID),
+        jnp.where(big_hit, big_ids[None, :], INVALID),
+    ], axis=1)  # (T, K+B)
+    merged = jnp.sort(merged, axis=1)[:, :K]
+    tile_valid = merged < INVALID
+    return jnp.where(tile_valid, merged, 0), tile_valid
+
+
 @partial(jax.jit, static_argnames=("image_size", "tile", "max_faces_per_tile",
-                                   "perspective_correct"))
-def _rasterize_single_binned_pallas(verts_proj, faces, image_size, tile: int,
-                                    max_faces_per_tile: int,
-                                    perspective_correct: bool, face_mask=None,
-                                    eps: float = 1e-8):
+                                   "perspective_correct", "binning"))
+def _rasterize_batch_binned_pallas(verts_proj, faces, image_size, tile: int,
+                                   max_faces_per_tile: int,
+                                   perspective_correct: bool, face_mask=None,
+                                   binning: str = "topk",
+                                   eps: float = 1e-8):
     """Binned rasterization with the per-tile stage as a Pallas kernel
     (ops.pallas.tile_raster): same binning as _rasterize_single_binned, then
-    one VMEM-staged kernel instance per tile instead of the lax.map sweep."""
+    one VMEM-staged kernel instance per tile instead of the lax.map sweep.
+
+    verts_proj (N, V, 3) — the WHOLE camera batch rasterizes in one kernel
+    launch (each camera's tiles stack on the grid axis), so a multi-frame
+    capture (e.g. the 4 interpolation steps of an NBV move) is one dispatch."""
     from .pallas.tile_raster import pallas_rasterize_tiles
 
     H, W = image_size
+    N = verts_proj.shape[0]
     F = faces.shape[0]
     pad_h = (-H) % tile
     pad_w = (-W) % tile
@@ -291,16 +418,8 @@ def _rasterize_single_binned_pallas(verts_proj, faces, image_size, tile: int,
     TH, TW = Hp // tile, Wp // tile
     T = TH * TW
 
-    fv = verts_proj[faces]  # (F, 3, 3)
     if face_mask is None:
         face_mask = jnp.ones((F,), bool)
-    z_ok = jnp.all(fv[..., 2] > eps, axis=-1)
-    fx = fv[..., 0]
-    fy = fv[..., 1]
-    face_x_min = jnp.min(fx, axis=-1)
-    face_x_max = jnp.max(fx, axis=-1)
-    face_y_min = jnp.min(fy, axis=-1)
-    face_y_max = jnp.max(fy, axis=-1)
 
     # Tile NDC bounds straight from the pixel mapping (x decreases with col)
     s = min(H, W)
@@ -319,37 +438,52 @@ def _rasterize_single_binned_pallas(verts_proj, faces, image_size, tile: int,
     neg_big = jnp.float32(-1e18)
     K = min(max_faces_per_tile, F)
     K = -(-K // 128) * 128  # lane-align the face axis
-    ok_face = face_mask & z_ok
 
-    def overlap_vs(xmin_t, xmax_t, ymin_t, ymax_t, fxm, fxM, fym, fyM, fok):
-        return ((fxm <= xmax_t[:, None] + slack)
-                & (fxM >= xmin_t[:, None] - slack)
-                & (fym <= ymax_t[:, None] + slack)
-                & (fyM >= ymin_t[:, None] - slack) & fok)
+    use_pairlist = (binning == "pairlist" and T * (F + 1) < 2**31 - 1)
 
-    overlap = overlap_vs(tile_x_min, tile_x_max, tile_y_min, tile_y_max,
-                         face_x_min[None, :], face_x_max[None, :],
-                         face_y_min[None, :], face_y_max[None, :],
-                         ok_face[None, :])
-    # K smallest overlapping face indices per tile. The (T, F) top_k is now
-    # the dominant cost of this path (~29 of 32 ms at 50k faces on v5e-1);
-    # measured alternatives (cumsum+scatter, cumsum+searchsorted, two-level
-    # coarse/fine binning) all came out slower or overflow-lossy on TPU.
-    scores = jnp.where(overlap,
-                       -jnp.arange(F, dtype=jnp.float32)[None, :], neg_big)
-    top_scores, tile_faces = jax.lax.top_k(scores, min(K, F))
-    if K > F:
-        tile_faces = jnp.pad(tile_faces, ((0, 0), (0, K - F)))
-        top_scores = jnp.pad(top_scores, ((0, 0), (0, K - F)),
-                             constant_values=neg_big)
-    tile_valid = top_scores > neg_big / 2
+    def bin_one(vp):
+        """Per-camera binning: (V, 3) -> (tile_fv (T, 9, K), valid, faces)."""
+        fv = vp[faces]  # (F, 3, 3)
+        if use_pairlist:
+            tile_faces, tile_valid = _pairlist_bin(
+                vp, faces, image_size, tile, K, face_mask=face_mask, eps=eps)
+        else:
+            z_ok = jnp.all(fv[..., 2] > eps, axis=-1)
+            fx = fv[..., 0]
+            fy = fv[..., 1]
+            ok_face = face_mask & z_ok
+            overlap = (
+                (jnp.min(fx, axis=-1)[None, :] <= tile_x_max[:, None] + slack)
+                & (jnp.max(fx, axis=-1)[None, :] >= tile_x_min[:, None] - slack)
+                & (jnp.min(fy, axis=-1)[None, :] <= tile_y_max[:, None] + slack)
+                & (jnp.max(fy, axis=-1)[None, :] >= tile_y_min[:, None] - slack)
+                & ok_face[None, :]
+            )
+            # K smallest overlapping face indices per tile via (T, F) top_k
+            # (~29 of 32 ms at 50k faces on v5e-1 — the pairlist binning
+            # replaces this sort; cumsum+scatter, cumsum+searchsorted and
+            # two-level binning all measured slower or overflow-lossy).
+            scores = jnp.where(
+                overlap, -jnp.arange(F, dtype=jnp.float32)[None, :], neg_big)
+            top_scores, tile_faces = jax.lax.top_k(scores, min(K, F))
+            if K > F:
+                tile_faces = jnp.pad(tile_faces, ((0, 0), (0, K - F)))
+                top_scores = jnp.pad(top_scores, ((0, 0), (0, K - F)),
+                                     constant_values=neg_big)
+            tile_valid = top_scores > neg_big / 2
+        # Stage per-tile face data: (T, 9, K)
+        flat = fv.reshape(F, 9)  # x0 y0 z0 x1 y1 z1 x2 y2 z2
+        tile_fv = jnp.moveaxis(flat[tile_faces], -1, 1)
+        return tile_fv, tile_valid, tile_faces
 
-    # Stage per-tile face data: (T, 9, K)
-    flat = fv.reshape(F, 9)  # x0 y0 z0 x1 y1 z1 x2 y2 z2
-    tile_fv = jnp.moveaxis(flat[tile_faces], -1, 1)  # (T, 9, K)
+    tile_fv, tile_valid, tile_faces = jax.vmap(bin_one)(verts_proj)
+    tile_fv = tile_fv.reshape(N * T, 9, K)
+    tile_valid = tile_valid.reshape(N * T, K)
+    tile_faces = tile_faces.reshape(N * T, K)
+
     zbuf_t, slot_t, b0_t, b1_t = pallas_rasterize_tiles(
         tile_fv, tile_valid.astype(jnp.float32)[:, None, :], tile, TW, H, W,
-        perspective_correct=perspective_correct,
+        n_tiles=T, perspective_correct=perspective_correct,
         interpret=(jax.default_backend() == "cpu"))
     zbuf_t, slot_t, b0_t, b1_t = (x[:, 0, :] for x in
                                   (zbuf_t, slot_t, b0_t, b1_t))
@@ -365,10 +499,10 @@ def _rasterize_single_binned_pallas(verts_proj, faces, image_size, tile: int,
 
     def untile(x, channels=None):
         if channels is None:
-            x = x.reshape(TH, TW, tile, tile).transpose(0, 2, 1, 3)
-            return x.reshape(Hp, Wp)[:H, :W]
-        x = x.reshape(TH, TW, tile, tile, channels).transpose(0, 2, 1, 3, 4)
-        return x.reshape(Hp, Wp, channels)[:H, :W]
+            x = x.reshape(N, TH, TW, tile, tile).transpose(0, 1, 3, 2, 4)
+            return x.reshape(N, Hp, Wp)[:, :H, :W]
+        x = x.reshape(N, TH, TW, tile, tile, channels).transpose(0, 1, 3, 2, 4, 5)
+        return x.reshape(N, Hp, Wp, channels)[:, :H, :W]
 
     return Fragments(untile(face_id), untile(zbuf_t), untile(bary, 3))
 
@@ -380,10 +514,27 @@ def project_verts(verts, camera):
     return jnp.concatenate((ndc[..., :2], view[..., 2:]), axis=-1)
 
 
+def project_verts_batch(verts, camera):
+    """World verts (V, 3) -> per-camera (N, V, 3) of (x_ndc, y_ndc, z_view)."""
+    n_cam = camera.R.shape[0]
+    pts = jnp.broadcast_to(verts[None], (n_cam, *verts.shape))
+    view = camera.world_to_view(pts)
+    ndc = camera.project_view(view)
+    return jnp.concatenate((ndc[..., :2], view[..., 2:]), axis=-1)
+
+
+# Default binning stage for the pallas path. 'pairlist' avoids the (T, F)
+# top_k (see _pairlist_bin) but measured SLOWER on v5e-1 at 50k faces
+# (45 vs 34 ms/frame — XLA's bitonic sorts dominate); 'topk' stays default.
+# Benchmark: data_tools/bench_rasterizer.py.
+PALLAS_BINNING = "topk"
+
+
 def rasterize(verts, faces, camera, image_size, chunk: int = 256,
               perspective_correct: bool = True, face_mask=None,
               method: str = "auto", tile: int = 16,
-              max_faces_per_tile: int = 1024):
+              max_faces_per_tile: int = 1024,
+              binning: str = None):
     """Rasterize a mesh under a (batched) FoV or orthographic camera.
 
     verts (V, 3), faces (F, 3); camera with batch shape (N,); image_size (H, W).
@@ -391,10 +542,12 @@ def rasterize(verts, faces, camera, image_size, chunk: int = 256,
     fast for large meshes; drops faces beyond max_faces_per_tile per tile), or
     'auto' (binned when F > 4 * max_faces_per_tile).
     Returns Fragments with arrays shaped (N, H, W[, 3]).
+
+    The whole camera batch runs in ONE device program (vmapped scan/binned, or
+    camera-stacked tile grid for the pallas path) — multi-frame captures are a
+    single dispatch instead of one launch per camera.
     """
-    if isinstance(camera, (FoVCamera, OrthoCamera)):
-        n_cam = camera.R.shape[0]
-    else:
+    if not isinstance(camera, (FoVCamera, OrthoCamera)):
         raise TypeError(type(camera))
 
     F = faces.shape[0]
@@ -407,30 +560,19 @@ def rasterize(verts, faces, camera, image_size, chunk: int = 256,
         else:
             method = "scan"
 
-    def one(i):
-        cam_i = jax.tree_util.tree_map(lambda x: x[i : i + 1], camera)
-        vp = project_verts(verts, cam_i)
-        if method == "pallas":
-            return _rasterize_single_binned_pallas(
-                vp, faces, tuple(image_size), tile, max_faces_per_tile,
-                perspective_correct, face_mask=face_mask,
-            )
-        if method == "binned":
-            return _rasterize_single_binned(
-                vp, faces, tuple(image_size), tile, max_faces_per_tile,
-                perspective_correct, face_mask=face_mask,
-            )
-        return _rasterize_single(
-            vp, faces, tuple(image_size), chunk, perspective_correct,
-            face_mask=face_mask,
-        )
-
-    frags = [one(i) for i in range(n_cam)]
-    return Fragments(
-        jnp.stack([f.pix_to_face for f in frags]),
-        jnp.stack([f.zbuf for f in frags]),
-        jnp.stack([f.bary for f in frags]),
-    )
+    vp = project_verts_batch(verts, camera)  # (N, V, 3)
+    if method == "pallas":
+        return _rasterize_batch_binned_pallas(
+            vp, faces, tuple(image_size), tile, max_faces_per_tile,
+            perspective_correct, face_mask=face_mask,
+            binning=binning or PALLAS_BINNING)
+    if method == "binned":
+        return jax.vmap(lambda v: _rasterize_single_binned(
+            v, faces, tuple(image_size), tile, max_faces_per_tile,
+            perspective_correct, face_mask=face_mask))(vp)
+    return jax.vmap(lambda v: _rasterize_single(
+        v, faces, tuple(image_size), chunk, perspective_correct,
+        face_mask=face_mask))(vp)
 
 
 # ---------------------------------------------------------------------------

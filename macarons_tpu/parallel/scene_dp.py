@@ -20,6 +20,7 @@ from typing import List, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..scene.grid import GridState
@@ -90,7 +91,8 @@ def make_parallel_scone_step(rt, n_supervision: int):
     """Build the jitted scene-parallel scone supervision step.
 
     sb (scene batch) is a dict of stacked per-scene inputs (leading axis S):
-      proxy: ProxyState, surface: GridState, tables: CellTables,
+      proxy: ProxyState (pre-window prediction state),
+      sup_occ (S, N, 1) occupancy-loss target, surface: GridState, tables: CellTables,
       pred_R/pred_T (S,1,3,3)/(S,1,3), close_mask (S,N), visited_R (S,F,3,3),
       visited_T (S,F,3), visited_X (S,F,3), sup_gains (S,F), X_world (S,N,3),
       harmonics (S,N,H), occ (S,N,1), valid (S,N), box_diag (S,),
@@ -122,7 +124,7 @@ def make_parallel_scone_step(rt, n_supervision: int):
                 supervision=True, eligible_override=sc["close_mask"],
                 n_cells_active=sc["n_cells_active"],
             )
-            sup = sc["proxy"].supervision_occ
+            sup = sc["sup_occ"]
             err = jnp.where(pred_mask[:, None], (proba - sup) ** 2, 0.0)
             n_pred = jnp.sum(pred_mask)
             occ_loss = jnp.sum(err) / jnp.maximum(n_pred, 1) \
@@ -149,14 +151,8 @@ def make_parallel_scone_step(rt, n_supervision: int):
         (loss, (occ_loss, cov_loss)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(ps)
         updates, opt_state = tx.update(grads, opt_state, ps)
-        new = optax_apply(ps, updates)
+        new = optax.apply_updates(ps, updates)
         return ({"params": new["occ"]}, {"params": new["vis"]}, opt_state,
                 loss, occ_loss, cov_loss)
 
     return step
-
-
-def optax_apply(params, updates):
-    import optax
-
-    return optax.apply_updates(params, updates)

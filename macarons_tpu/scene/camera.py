@@ -80,6 +80,15 @@ class PoseSpace:
             (pos, elev[..., None], azim[..., None]), axis=-1
         )
 
+    def pose_from_idx_np(self, idx):
+        """Host-numpy twin of pose_from_idx for episode bookkeeping — the
+        interpolated-move math must not round-trip through the device."""
+        idx = np.asarray(idx, np.float32)
+        pos = self.x_min + (idx[..., :3] + 0.5) * self.steps
+        elev = -90.0 + 180.0 * (1 + idx[..., 3]) / (self.pose_n_elev + 1)
+        azim = 360.0 * idx[..., 4] / self.pose_n_azim
+        return np.concatenate((pos, elev[..., None], azim[..., None]), axis=-1)
+
     def flat_index(self, idx):
         idx = np.asarray(idx)
         f = 0
@@ -158,8 +167,8 @@ class Camera:
             old_idx = np.asarray(new_cam_idx)
         else:
             old_idx = self.cam_idx
-        old_pose = np.asarray(ps.pose_from_idx(jnp.asarray(old_idx)))
-        new_pose = np.asarray(ps.pose_from_idx(jnp.asarray(new_cam_idx)))
+        old_pose = ps.pose_from_idx_np(old_idx)
+        new_pose = ps.pose_from_idx_np(new_cam_idx)
 
         offset_azim = 0.0
         if not final:
@@ -171,6 +180,7 @@ class Camera:
         a = interpolation_step / n_steps
         X = old_pose[:3] + (new_pose[:3] - old_pose[:3]) * a
         V = old_pose[3:] + (new_pose[3:] - old_pose[3:]) * a
+        V = V.copy()
         V[1] += offset_azim * a
 
         if final:
@@ -243,7 +253,9 @@ class Camera:
             ok = ok & points_in_fov_mask(
                 p, cams, self.image_height, self.image_width,
                 fov_range=5 * self.zfar).any(axis=-1)
-        ok = np.asarray(ok)
+        # The whole neighbor set's validity comes home in ONE sanctioned pull
+        with jax.transfer_guard_device_to_host("allow"):
+            ok = np.asarray(ok)
         if self.occupied_poses is not None:
             occ = self.occupied_poses[idx[:, 0], idx[:, 1], idx[:, 2]]
             ok = ok & ~np.asarray(occ)
@@ -308,5 +320,5 @@ class Camera:
             images = jnp.clip(mean + self.contrast_factor * (images - mean), 0, 1)
         depth = frags.zbuf[..., None]
         mask = depth > -1
-        self.n_frames_captured += 1
+        self.n_frames_captured += int(cam.R.shape[0])
         return images, depth, mask

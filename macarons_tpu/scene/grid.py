@@ -290,6 +290,50 @@ def camera_coverage_gain(cfg: GridConfig, state: GridState, part_pc, part_mask,
     )
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def window_coverage_gains(cfg: GridConfig, state: GridState, part_pcs,
+                          part_masks, surface_epsilon=None):
+    """Per-frame supervision coverage gains for a capture window.
+
+    Matches the reference's online/replay supervision gains
+    (train_macarons.py:449-470, :700-716): the window's partial clouds are
+    already inserted into `state` with coveredness feature 0 (uncovered) except
+    frame 0's points (covered); each frame's gain counts the uncovered stored
+    points within epsilon of ITS cloud (no marking between frames of the same
+    window); afterwards EVERY stored point becomes covered
+    (set_all_features_to_value(1.)).
+
+    part_pcs (F, P, 3), part_masks (F, P). Returns (gains (F,), new_state).
+    """
+    eps = cfg.resolution if surface_epsilon is None else surface_epsilon
+    pts, feat, valid = all_points_with_features(state)
+    uncovered = valid & (feat[:, 0] <= 0.0)
+    n = pts.shape[0]
+    chunk = 4096
+    pad = (-n) % chunk
+    q = jnp.concatenate([pts, jnp.zeros((pad, 3))]) if pad else pts
+    u = (jnp.concatenate([uncovered, jnp.zeros((pad,), bool)])
+         if pad else uncovered)
+
+    def per_frame(args):
+        pc, pm = args
+        pm = pm & in_bounding_box(cfg, pc)
+
+        def chunk_gain(sl):
+            s_pts, s_unc = sl
+            d2 = pairwise_sqdist(s_pts, pc)
+            d2 = jnp.where(pm[None, :], d2, _BIG)
+            hit = (jnp.sqrt(jnp.min(d2, axis=-1)) < eps) & s_unc
+            return jnp.sum(hit.astype(jnp.float32))
+
+        return jnp.sum(jax.lax.map(
+            chunk_gain, (q.reshape(-1, chunk, 3), u.reshape(-1, chunk))))
+
+    gains = jax.lax.map(per_frame, (part_pcs, part_masks))
+    new_feat = state.features.at[..., 0].set(1.0)
+    return gains, state._replace(features=new_feat)
+
+
 def _covered_mask_cellwise(gt: GridState, rec: GridState, eps):
     """(C, K) bool: each stored GT point covered by same-cell recovered points.
     Scans over cells so the (K, K) distance block never batches over all cells."""

@@ -20,13 +20,20 @@ from .proxy import ProxyState
 
 
 class Memory:
-    """Replay store over one or more scene directories (reference :3091-3160)."""
+    """Replay store over one or more scene directories (reference :3091-3160).
+
+    Writes are ASYNCHRONOUS: device arrays start a non-blocking d2h copy
+    (`copy_to_host_async`) and a writer thread serializes the .npz, so the
+    dispatch pipeline never stalls on frame persistence (the reference blocks
+    on a torch.save per captured frame, macarons_utils.py:2317-2335). Reads
+    barrier on any in-flight write of the same file."""
 
     def __init__(self, scene_memory_paths: List[str], current_epoch: int = 0,
                  n_trajectories: int = 1):
         self.scene_memory_paths = list(scene_memory_paths)
         self.n_trajectories = n_trajectories
         self.current_epoch = current_epoch
+        self._inflight: Dict[str, object] = {}  # file path -> Future
         for path in self.scene_memory_paths:
             for traj in range(n_trajectories):
                 for sub in ("frames", "depths", "surface", "occupancy", "poses"):
@@ -36,6 +43,45 @@ class Memory:
     def current_trajectory(self) -> int:
         return self.current_epoch % self.n_trajectories
 
+    # -- async write machinery ----------------------------------------------
+    _writer_pool = None
+
+    @classmethod
+    def _writer(cls):
+        if cls._writer_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            cls._writer_pool = ThreadPoolExecutor(
+                max_workers=2, thread_name_prefix="memory-writer")
+        return cls._writer_pool
+
+    def _save_npz_async(self, fpath: str, arrays: Dict):
+        """Queue an .npz write: d2h copies start now (non-blocking), the
+        blocking np.asarray + serialization happen on the writer thread."""
+        import jax
+
+        with jax.transfer_guard_device_to_host("allow"):  # intentional, async
+            for v in arrays.values():
+                start = getattr(v, "copy_to_host_async", None)
+                if start is not None:
+                    start()
+
+        def write():
+            np.savez(fpath, **{k: np.asarray(v) for k, v in arrays.items()})
+
+        self._wait_for(fpath)  # never two in-flight writes of one file
+        self._inflight[fpath] = self._writer().submit(write)
+
+    def _wait_for(self, fpath: str):
+        fut = self._inflight.pop(fpath, None)
+        if fut is not None:
+            fut.result()
+
+    def flush(self):
+        """Barrier on every queued write (call before directory listings)."""
+        for fpath in list(self._inflight):
+            self._wait_for(fpath)
+
     # -- frames -------------------------------------------------------------
     def frames_dir(self, scene_path: str, traj: Optional[int] = None) -> str:
         t = self.current_trajectory() if traj is None else traj
@@ -44,18 +90,20 @@ class Memory:
     def save_frame(self, scene_path: str, frame_nb: int, rgb, zbuf, mask, R, T,
                    zfar, traj: Optional[int] = None):
         """Frame schema matches the reference's saved dict (macarons_utils.py:2322-2333)."""
-        np.savez(
+        self._save_npz_async(
             os.path.join(self.frames_dir(scene_path, traj), f"{frame_nb}.npz"),
-            rgb=np.asarray(rgb), zbuf=np.asarray(zbuf), mask=np.asarray(mask),
-            R=np.asarray(R), T=np.asarray(T), zfar=np.float32(zfar),
+            dict(rgb=rgb, zbuf=zbuf, mask=mask, R=R, T=T,
+                 zfar=np.float32(zfar)),
         )
 
     def load_frame(self, scene_path: str, frame_nb: int,
                    traj: Optional[int] = None) -> Dict[str, np.ndarray]:
         f = os.path.join(self.frames_dir(scene_path, traj), f"{frame_nb}.npz")
+        self._wait_for(f)
         return dict(np.load(f))
 
     def n_frames(self, scene_path: str, traj: Optional[int] = None) -> int:
+        self.flush()
         d = self.frames_dir(scene_path, traj)
         return len([f for f in os.listdir(d) if f.endswith(".npz")])
 
@@ -83,6 +131,8 @@ class Memory:
         d = self.frames_dir(scene_path, traj)
         paths = [os.path.join(d, f"{last_frame_nb - n + 1 + i}.npz")
                  for i in range(n)]
+        for p in paths:
+            self._wait_for(p)
         jobs = prefetch_npz(loader, paths)
         frames = [take_npz(loader, j) for j in jobs]
         return {
@@ -98,11 +148,10 @@ class Memory:
     def save_depth(self, scene_path: str, frame_nb: int, depth, mask, error_mask,
                    R, T, traj: Optional[int] = None):
         t = self.current_trajectory() if traj is None else traj
-        np.savez(
+        self._save_npz_async(
             os.path.join(scene_path, "training", str(t), "depths",
                          f"{frame_nb}.npz"),
-            depth=np.asarray(depth), mask=np.asarray(mask),
-            error_mask=np.asarray(error_mask), R=np.asarray(R), T=np.asarray(T),
+            dict(depth=depth, mask=mask, error_mask=error_mask, R=R, T=T),
         )
 
     def load_depth(self, scene_path: str, frame_nb: int,
@@ -110,9 +159,11 @@ class Memory:
         t = self.current_trajectory() if traj is None else traj
         f = os.path.join(scene_path, "training", str(t), "depths",
                          f"{frame_nb}.npz")
+        self._wait_for(f)
         return dict(np.load(f))
 
     def n_depths(self, scene_path: str, traj: Optional[int] = None) -> int:
+        self.flush()
         t = self.current_trajectory() if traj is None else traj
         d = os.path.join(scene_path, "training", str(t), "depths")
         return len([f for f in os.listdir(d) if f.endswith(".npz")])
@@ -121,44 +172,47 @@ class Memory:
     def save_surface_scene(self, scene_path: str, state: GridState,
                            traj: Optional[int] = None, **scene_params):
         t = self.current_trajectory() if traj is None else traj
-        np.savez(
-            os.path.join(scene_path, "training", str(t), "surface", "scene.npz"),
-            points=np.asarray(state.points), features=np.asarray(state.features),
-            valid=np.asarray(state.valid), **scene_params,
+        self._save_npz_async(
+            os.path.join(scene_path, "training", str(t), "surface",
+                         "scene.npz"),
+            dict(points=state.points, features=state.features,
+                 valid=state.valid, **scene_params),
         )
 
     def load_surface_scene(self, scene_path: str, traj: Optional[int] = None):
         t = self.current_trajectory() if traj is None else traj
-        d = dict(np.load(os.path.join(scene_path, "training", str(t), "surface",
-                                      "scene.npz")))
+        f = os.path.join(scene_path, "training", str(t), "surface", "scene.npz")
+        self._wait_for(f)
+        d = dict(np.load(f))
         state = GridState(d.pop("points"), d.pop("features"), d.pop("valid"))
         return state, d
 
     def save_occupancy_field(self, scene_path: str, state: ProxyState,
                              traj: Optional[int] = None, **scene_params):
         t = self.current_trajectory() if traj is None else traj
-        np.savez(
+        self._save_npz_async(
             os.path.join(scene_path, "training", str(t), "occupancy",
                          "field.npz"),
-            **{k: np.asarray(v) for k, v in state._asdict().items()},
-            **scene_params,
+            dict(**state._asdict(), **scene_params),
         )
 
     def load_occupancy_field(self, scene_path: str, traj: Optional[int] = None):
         t = self.current_trajectory() if traj is None else traj
-        d = dict(np.load(os.path.join(scene_path, "training", str(t),
-                                      "occupancy", "field.npz")))
+        f = os.path.join(scene_path, "training", str(t), "occupancy",
+                         "field.npz")
+        self._wait_for(f)
+        d = dict(np.load(f))
         fields = {k: d.pop(k) for k in list(ProxyState._fields)}
         return ProxyState(**fields), d
 
     def save_poses(self, scene_path: str, epoch: int, X_history, V_history,
                    idx_history, traj: Optional[int] = None):
         t = self.current_trajectory() if traj is None else traj
-        np.savez(
+        self._save_npz_async(
             os.path.join(scene_path, "training", str(t), "poses",
                          f"epoch_{epoch}.npz"),
-            X_cam=np.asarray(X_history), V_cam=np.asarray(V_history),
-            cam_idx=np.asarray(idx_history),
+            dict(X_cam=np.asarray(X_history), V_cam=np.asarray(V_history),
+                 cam_idx=np.asarray(idx_history)),
         )
 
     # -- replay sampling ------------------------------------------------------
@@ -210,17 +264,30 @@ class Memory:
 
     def get_random_scene_for_scone(self, rs: np.random.Generator,
                                    scene_path: str, n_supervise: int,
-                                   max_build: int = 30,
-                                   random_poses: bool = False,
-                                   exclude_traj: Optional[int] = None):
-        """Pick a replay trajectory + depth frames (reference
-        get_random_scene_for_scone_model :3324-3457 + memory_scene_loop
-        :600-630): a random-length consecutive BUILD sub-trajectory of
-        1..max_build depths rebuilds the partial world; then n_supervise
-        SUPERVISION depths starting at the last build depth, continuing
-        consecutively or (random_poses) drawn randomly from unused depths.
+                                   n_loops: int = 1, max_build: int = 30,
+                                   exclude_traj: Optional[int] = None,
+                                   n_proxy_points: Optional[int] = None):
+        """Pick a replay trajectory + load its saved end-of-trajectory
+        snapshots (reference get_random_scene_for_scone_model :3324-3457):
+        a random-length consecutive BUILD sub-trajectory of 1..max_build-1
+        depths rebuilds the partial world; the caller then runs `n_loops`
+        supervision windows of n_supervise depths each (first window depth =
+        last build depth, windows advancing by n_supervise-1).
 
-        Returns (traj, build_frames, supervise_frames) or None."""
+        The saved occupancy snapshot supplies the replay's occupancy-loss
+        pseudo-GT — `(supervision_occ > 0) & (out_of_field < 1)` over the FULL
+        trajectory's carving (reference save_occupancy_field_in_memory
+        :631-632) — and the carving counters the replay continues from
+        (load_occupancy_field_from_memory :689-694). Proxy layouts are
+        name-seeded with a stable digest, so the snapshot's per-point arrays
+        align with the live scene's layout; a snapshot with a different proxy
+        count is skipped.
+
+        Returns (traj, build_frames, info) or None, with info containing
+        'pseudo_gt' (N, 1), 'n_inside_fov' (N, 1), 'n_behind_depth' (N, 1)
+        (all float32 numpy) and 'n_depths' (int)."""
+        self.flush()
+        need_extra = n_loops * max(n_supervise - 1, 0)
         candidates = []
         for t in range(self.n_trajectories):
             if exclude_traj is not None and t == exclude_traj:
@@ -231,23 +298,26 @@ class Memory:
                                 "field.npz")
             n_d = self.n_depths(scene_path, t)
             if os.path.exists(surf) and os.path.exists(occf) \
-                    and n_d >= n_supervise + 1:
+                    and n_d >= 1 + need_extra:
                 candidates.append((t, n_d))
         if not candidates:
             return None
         t, n_d = candidates[rs.integers(0, len(candidates))]
-        hi_build = max(min(max_build, n_d - n_supervise + 1), 1)
+        state, _ = self.load_occupancy_field(scene_path, t)
+        if n_proxy_points is not None \
+                and state.points.shape[0] != n_proxy_points:
+            return None  # stale snapshot from another proxy layout
+        pseudo_gt = ((np.asarray(state.supervision_occ) > 0.0)
+                     & (np.asarray(state.out_of_field) < 1.0)
+                     ).astype(np.float32)
+        info = {
+            "pseudo_gt": pseudo_gt,
+            "n_inside_fov": np.asarray(state.n_inside_fov, np.float32),
+            "n_behind_depth": np.asarray(state.n_behind_depth, np.float32),
+            "n_depths": n_d,
+        }
+        hi_build = max(min(max_build - 1, n_d - need_extra), 1)
         n_build = int(rs.integers(1, hi_build + 1))
-        start = int(rs.integers(0, n_d - (n_build + n_supervise) + 2))
+        start = int(rs.integers(0, n_d - n_build - need_extra + 1))
         build = list(range(start, start + n_build))
-        used = set(build)
-        supervise = [build[-1]]  # first supervision depth = last build depth
-        if random_poses:
-            pool = [i for i in range(n_d) if i not in used]
-            picks = rs.choice(len(pool), size=n_supervise - 1, replace=False) \
-                if len(pool) >= n_supervise - 1 else range(len(pool))
-            supervise += [pool[int(i)] for i in picks]
-        else:
-            supervise += [min(build[-1] + i, n_d - 1)
-                          for i in range(1, n_supervise)]
-        return t, build, supervise
+        return t, build, info

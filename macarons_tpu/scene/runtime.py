@@ -164,16 +164,19 @@ def occupancy_field_impl(occ_model, n_elev: int = 7, n_azim: int = 14,
     base_harmonics, h_polar, _ = get_all_harmonics_under_degree(degree, n_elev, n_azim)
     n_harmonics = degree * degree
 
-    @partial(jax.jit, static_argnames=("supervision", "use_supervision_occ_mask"))
+    @partial(jax.jit, static_argnames=("supervision", "use_supervision_occ_mask",
+                                       "full_field"))
     def run(occ_vars, proxy: ProxyState, surface: GridState,
             tables: CellTables, prediction_camera: FoVCamera, key,
             supervision: bool = False, use_supervision_occ_mask: bool = True,
-            eligible_override=None, n_cells_active=None):
+            eligible_override=None, n_cells_active=None,
+            full_field: bool = False):
         slots = tables.slots
         slot_mask = tables.slot_mask
         neighbor_ids = tables.neighbor_ids
         centers = tables.centers
         N = proxy.points.shape[0]
+        C = slots.shape[0]
         model_vars = occ_vars
         if cdtype is not None:
             model_vars = jax.tree_util.tree_map(
@@ -188,85 +191,132 @@ def occupancy_field_impl(occ_model, n_elev: int = 7, n_azim: int = 14,
         else:
             eligible = fov_mask
 
-        # Rank cells by eligible proxy count; take the top max_cells.
+        # Rank cells by eligible proxy count.
         elig_per_slot = eligible[slots] & slot_mask  # (C, K_cell)
         counts = jnp.sum(elig_per_slot, axis=-1)
-        if supervision:
-            # Random cell subset among non-empty (reference :1307-1312 randperm)
-            noise = jax.random.uniform(key, counts.shape)
-            rank_score = jnp.where(counts > 0, noise, -1.0)
-        else:
-            rank_score = counts.astype(jnp.float32)
-        _, top_cells = jax.lax.top_k(rank_score, max_cells)
-        cell_ok = counts[top_cells] > 0
-        if n_cells_active is not None:
-            # Occupancy-supervision curriculum (reference macarons_utils.py
-            # :1556-1563): the number of supervised cells ramps up over the
-            # trajectory. Static shape, masked — the program compiles once.
-            cell_ok = cell_ok & (jnp.arange(max_cells) < n_cells_active)
 
         # View-space permutation of the histogram grid for this camera (static math)
         perm = view_space_permutation(prediction_camera, n_elev, n_azim)
 
-        # ---- stage 1: vectorized input prep for ALL selected cells ----------
-        # All gathers/normalizations happen OUTSIDE the model loop, producing
-        # stacked (M, ...) arrays; the scan then slices contiguous memory
-        # instead of re-gathering per iteration.
-        M = max_cells
-        c_slots = slots[top_cells]  # (M, K_cell)
-        masks_in = elig_per_slot[top_cells]  # (M, K_cell)
-        X_world = proxy.points[c_slots]  # (M, K_cell, 3)
-        vs = proxy.view_states[c_slots]  # (M, K_cell, V)
-        nb = neighbor_ids[top_cells]  # (M, 27)
-        pc_world = surface.points[nb].reshape(M, -1, 3)
-        pc_mask = surface.valid[nb].reshape(M, -1)
+        def process_cells(top_cells, cell_ok):
+            """Run SconeOcc on a (max_cells,) id vector of cells; returns flat
+            scatter contributions (idx, occ, harmonics, mask).
 
-        diag = tables.pred_diag
-        centers_v = prediction_camera.world_to_view(centers[top_cells][None])[0]
-        Xv = prediction_camera.world_to_view(X_world)
-        Xn = normalize_points_in_prediction_box(Xv, centers_v[:, None, :], diag)
-        pcv = prediction_camera.world_to_view(pc_world)
-        pcn = normalize_points_in_prediction_box(pcv, centers_v[:, None, :],
-                                                 diag)
-        rot_vs = jnp.take(vs, perm, axis=-1)
-        vhs = compute_view_harmonics(rot_vs, base_harmonics, h_polar,
-                                     n_elev, n_azim)  # (M, K_cell, H)
-        # Enough surface context? (reference :1345 requires > 4*k_for_knn)
-        enough = jnp.sum(pc_mask, axis=-1) > 4 * k_for_knn
+            Stage 1: vectorized input prep for ALL selected cells — gathers
+            and normalizations happen OUTSIDE the model loop, producing
+            stacked (M, ...) arrays; stage 2's lax.map then slices contiguous
+            memory instead of re-gathering per iteration."""
+            M = max_cells
+            c_slots = slots[top_cells]  # (M, K_cell)
+            masks_in = elig_per_slot[top_cells]  # (M, K_cell)
+            X_world = proxy.points[c_slots]  # (M, K_cell, 3)
+            vs = proxy.view_states[c_slots]  # (M, K_cell, V)
+            nb = neighbor_ids[top_cells]  # (M, 27)
+            pc_world = surface.points[nb].reshape(M, -1, 3)
+            pc_mask = surface.valid[nb].reshape(M, -1)
 
-        if cdtype is not None:
-            pcn = pcn.astype(cdtype)
-            Xn = Xn.astype(cdtype)
-            vh_in = vhs.astype(cdtype)
+            diag = tables.pred_diag
+            centers_v = prediction_camera.world_to_view(
+                centers[top_cells][None])[0]
+            Xv = prediction_camera.world_to_view(X_world)
+            Xn = normalize_points_in_prediction_box(Xv, centers_v[:, None, :],
+                                                    diag)
+            pcv = prediction_camera.world_to_view(pc_world)
+            pcn = normalize_points_in_prediction_box(pcv, centers_v[:, None, :],
+                                                     diag)
+            rot_vs = jnp.take(vs, perm, axis=-1)
+            vhs = compute_view_harmonics(rot_vs, base_harmonics, h_polar,
+                                         n_elev, n_azim)  # (M, K_cell, H)
+            # Enough surface context? (reference :1345 requires > 4*k_for_knn)
+            enough = jnp.sum(pc_mask, axis=-1) > 4 * k_for_knn
+
+            if cdtype is not None:
+                pcn = pcn.astype(cdtype)
+                Xn = Xn.astype(cdtype)
+                vh_in = vhs.astype(cdtype)
+            else:
+                vh_in = vhs
+
+            def per_cell(args):
+                pcn_i, Xn_i, vh_i, m_i = args
+                return occ_model.apply(
+                    model_vars, pcn_i[None], Xn_i[None], vh_i[None],
+                    pc_mask=m_i[None])[0].astype(jnp.float32)
+
+            occs = jax.lax.map(per_cell, (pcn, Xn, vh_in, pc_mask),
+                               batch_size=cell_batch)[..., 0]  # (M, K_cell)
+            occs = jnp.where(enough[:, None], occs, 0.0)
+            masks = masks_in & enough[:, None] & cell_ok[:, None]
+            return (c_slots.reshape(-1), occs.reshape(-1),
+                    vhs.reshape(-1, n_harmonics), masks.reshape(-1))
+
+        def scatter(acc, flat):
+            proba, harmonics, pred_mask = acc
+            flat_idx, flat_occ, flat_vh, flat_m = flat
+            safe_idx = jnp.where(flat_m, flat_idx, N)  # out-of-range = dropped
+            return (proba.at[safe_idx].set(flat_occ),
+                    harmonics.at[safe_idx].set(flat_vh),
+                    pred_mask.at[safe_idx].set(flat_m))
+
+        # (N+1)-row buffers: row N is the drop target for masked scatters.
+        acc0 = (jnp.zeros((N + 1,)), jnp.zeros((N + 1, n_harmonics)),
+                jnp.zeros((N + 1,), bool))
+
+        if full_field:
+            # Inference covers EVERY eligible cell (reference
+            # compute_scene_occupancy_probability_field iterates all englobing
+            # cells, macarons_utils.py:1433-1441 — the
+            # n_cell_per_occ_forward_pass cap applies only to supervision,
+            # :1235). Cells sorted by eligible count are consumed in
+            # max_cells-sized chunks by a device-side while_loop that stops at
+            # the first chunk with no eligible cells — cost scales with the
+            # number of eligible cells, no host round-trips.
+            order = jnp.argsort(-counts)
+            n_chunks = -(-C // max_cells)
+            pad = n_chunks * max_cells - C
+            pad_order = jnp.concatenate(
+                [order, jnp.zeros((pad,), order.dtype)]) if pad else order
+            pad_counts = jnp.concatenate(
+                [counts[order], jnp.zeros((pad,), counts.dtype)]) \
+                if pad else counts[order]
+
+            def chunk_elig(i):
+                return jnp.sum(jax.lax.dynamic_slice(
+                    pad_counts, (i * max_cells,), (max_cells,)))
+
+            def cond(carry):
+                i, _ = carry
+                return (i < n_chunks) & (chunk_elig(i) > 0)
+
+            def body(carry):
+                i, acc = carry
+                cells = jax.lax.dynamic_slice(pad_order, (i * max_cells,),
+                                              (max_cells,))
+                chunk_counts = jax.lax.dynamic_slice(
+                    pad_counts, (i * max_cells,), (max_cells,))
+                acc = scatter(acc, process_cells(cells, chunk_counts > 0))
+                return (i + 1, acc)
+
+            _, acc = jax.lax.while_loop(cond, body, (jnp.asarray(0), acc0))
         else:
-            vh_in = vhs
+            if supervision:
+                # Random cell subset among non-empty (reference :1307-1312
+                # randperm)
+                noise = jax.random.uniform(key, counts.shape)
+                rank_score = jnp.where(counts > 0, noise, -1.0)
+            else:
+                rank_score = counts.astype(jnp.float32)
+            _, top_cells = jax.lax.top_k(rank_score, max_cells)
+            cell_ok = counts[top_cells] > 0
+            if n_cells_active is not None:
+                # Occupancy-supervision curriculum (reference macarons_utils.py
+                # :1556-1563): the number of supervised cells ramps up over the
+                # trajectory. Static shape, masked — the program compiles once.
+                cell_ok = cell_ok & (jnp.arange(max_cells) < n_cells_active)
+            acc = scatter(acc0, process_cells(top_cells, cell_ok))
 
-        # ---- stage 2: the model over pre-staged per-cell slices -------------
-        def per_cell(args):
-            pcn_i, Xn_i, vh_i, m_i = args
-            return occ_model.apply(
-                model_vars, pcn_i[None], Xn_i[None], vh_i[None],
-                pc_mask=m_i[None])[0].astype(jnp.float32)
-
-        occs = jax.lax.map(per_cell, (pcn, Xn, vh_in, pc_mask),
-                           batch_size=cell_batch)[..., 0]  # (M, K_cell)
-        occs = jnp.where(enough[:, None], occs, 0.0)
-        masks = masks_in & enough[:, None]
-        # Gate whole discarded cells
-        masks = masks & cell_ok[:, None]
-
-        proba = jnp.zeros((N,))
-        harmonics = jnp.zeros((N, n_harmonics))
-        pred_mask = jnp.zeros((N,), bool)
-        flat_idx = slots[top_cells].reshape(-1)
-        flat_occ = occs.reshape(-1)
-        flat_vh = vhs.reshape(-1, n_harmonics)
-        flat_m = masks.reshape(-1)
-        safe_idx = jnp.where(flat_m, flat_idx, N)  # out-of-range = dropped
-        proba = jnp.zeros((N + 1,)).at[safe_idx].set(flat_occ)[:N]
-        harmonics = jnp.zeros((N + 1, n_harmonics)).at[safe_idx].set(flat_vh)[:N]
-        pred_mask = jnp.zeros((N + 1,), bool).at[safe_idx].set(flat_m)[:N]
-        return proba[:, None], pred_mask, harmonics
+        proba, harmonics, pred_mask = acc
+        return proba[:N, None], pred_mask[:N], harmonics[:N]
 
     _OCC_IMPL_CACHE[cache_key] = run
     return run

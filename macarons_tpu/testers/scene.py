@@ -43,6 +43,7 @@ from ..trainers.train_macarons import (
     SceneState,
     capture_and_save,
     mapping_update,
+    move_and_capture,
     setup_scene,
 )
 from ..utils.checkpoint import checkpoint_exists
@@ -75,7 +76,7 @@ def compute_trajectory(rt: MacaronsRuntime, scene: SceneState, memory: Memory,
     cam = scene.camera
     if start_idx is None:
         start_idx = cam.get_random_valid_pose(
-            rs, jnp.asarray(scene.mesh.verts), proxy_points=scene.proxy.points)
+            rs, scene.verts_dev, proxy_points=scene.proxy.points)
     cam.initialize(np.asarray(start_idx))
 
     covered_scene = G.empty_grid(scene.cfg)
@@ -111,13 +112,19 @@ def compute_trajectory(rt: MacaronsRuntime, scene: SceneState, memory: Memory,
         proba, pred_mask, harmonics = rt.occupancy_field(
             variables.occ, scene.proxy, scene.surface_scene, cam.fov_camera_0,
             k_occ)
+        if params.get("use_supervision_occ", False):
+            # Carving pseudo-GT replaces the predicted field (reference
+            # use_supervision_occ_instead_of_predicted bypass,
+            # macarons_utils.py:1501-1503) — the decoupling fixture that makes
+            # exploration quality measurable without trained weights.
+            proba = scene.proxy.supervision_occ
+            pred_mask = scene.proxy.out_of_field[:, 0] < 1.0
         scene.proxy = scene.proxy._replace(
             proba=jnp.where(pred_mask[:, None], proba, scene.proxy.proba))
         field = R.assemble_scene_field(scene.proxy, proba, pred_mask, harmonics)
 
         neighbors = cam.get_neighboring_poses()
-        valid_nbrs = cam.get_valid_neighbors(neighbors,
-                                             jnp.asarray(scene.mesh.verts))
+        valid_nbrs = cam.get_valid_neighbors(neighbors, scene.verts_dev)
         if use_collision and len(valid_nbrs) > 1:
             keep = []
             for idx in valid_nbrs:
@@ -145,15 +152,14 @@ def compute_trajectory(rt: MacaronsRuntime, scene: SceneState, memory: Memory,
         gains = rt.coverage_gains(
             variables.vis, *field, cand_cams, X_cand, cam.fov_camera_0,
             box_diag, scene.cfg.resolution, rt.sensor_range, k_cov)[:n_cand]
-        next_idx = valid_nbrs[int(np.argmax(np.asarray(gains)))]
+        next_idx = valid_nbrs[int(jnp.argmax(gains))]
 
-        # Move and capture; update TRUE coverage from GT zbuf
-        for step in range(1, cam.n_interpolation_steps + 1):
-            cam.update_camera(next_idx, interpolation_step=step)
-            _, gt_depth, gt_mask = capture_and_save(scene, memory, memory_path)
-            cov, covered_scene, key = true_coverage_update(
-                scene, covered_scene, gt_depth, gt_mask, cam.fov_camera.R,
-                cam.fov_camera.T, key, rt.dcfg.zfar, surface_epsilon)
+        # Move and capture (one batched render); TRUE coverage from GT zbuf
+        _, gt_depth, gt_mask, batch_cam = move_and_capture(
+            scene, memory, memory_path, next_idx)
+        cov, covered_scene, key = true_coverage_update(
+            scene, covered_scene, gt_depth, gt_mask, batch_cam.R,
+            batch_cam.T, key, rt.dcfg.zfar, surface_epsilon)
         coverages.append(cov)
 
         # Mapping from predicted depths over the new frames (no learning)
@@ -231,6 +237,25 @@ def run_test(params: Params, data_path: Optional[str] = None,
                 start_idx=start_idx, verbose=verbose,
             )
             results[name][str(start_i)] = traj
+            if params.get("export_results", False):
+                # Blender camera curves + reconstructed surface PLY
+                # (reference export branches, testers/scene.py:284-618 +
+                # render_utils.py)
+                from ..utils.export import (
+                    export_point_cloud_ply, export_trajectory_blender,
+                )
+
+                edir = os.path.join(results_dir, "exports", name)
+                export_trajectory_blender(
+                    os.path.join(edir, f"start_{start_i}_cameras.json"),
+                    np.concatenate(scene.camera.X_cam_history, 0),
+                    np.concatenate(scene.camera.V_cam_history, 0),
+                    scene.camera.n_interpolation_steps,
+                    params.get("scene_scale_factor", 1.0))
+                pts, valid = G.all_points(scene.surface_scene)
+                export_point_cloud_ply(
+                    os.path.join(edir, f"start_{start_i}_surface.ply"),
+                    np.asarray(pts), valid=np.asarray(valid))
             if verbose:
                 print(f"{name} start {start_i}: final coverage "
                       f"{traj['coverage'][-1]:.4f}")

@@ -177,9 +177,13 @@ def test_macarons_bundle(tmp_path):
 
 
 def test_scone_replay_sampling(tmp_path, rng):
-    """Build/supervise split of the scone replay sampler (reference
-    get_random_scene_for_scone_model :3360-3400 + memory_scene_loop :616-627)."""
+    """Build split + snapshot pseudo-GT of the scone replay sampler (reference
+    get_random_scene_for_scone_model :3324-3457: the saved occupancy field
+    supplies the replay's pseudo-GT and carving counters)."""
+    import jax.numpy as jnp
+
     from macarons_tpu.scene.memory import Memory
+    from macarons_tpu.scene.proxy import initialize_proxy_points
 
     sp = str(tmp_path / "scene")
     mem = Memory([sp], current_epoch=1, n_trajectories=2)
@@ -191,25 +195,36 @@ def test_scone_replay_sampling(tmp_path, rng):
     np.savez(tmp_path / "scene" / "training" / "0" / "surface" / "scene.npz",
              points=np.zeros((1, 1, 3)), features=np.zeros((1, 1, 1)),
              valid=np.zeros((1, 1), bool))
-    np.savez(tmp_path / "scene" / "training" / "0" / "occupancy" / "field.npz",
-             x=np.zeros(1))
+    prox = initialize_proxy_points(jax.random.PRNGKey(0), [-1] * 3, [1] * 3, 50)
+    occ = np.zeros((50, 1), np.float32)
+    occ[::2] = 1.0  # carved-occupied on even indices
+    oof = np.ones((50, 1), np.float32)
+    oof[:30] = 0.0  # first 30 points were seen
+    prox = prox._replace(
+        supervision_occ=jnp.asarray(occ), out_of_field=jnp.asarray(oof),
+        n_inside_fov=jnp.full((50, 1), 3.0), n_behind_depth=jnp.full((50, 1), 2.0))
+    mem.save_occupancy_field(sp, prox, traj=0)
 
-    got = mem.get_random_scene_for_scone(rng, sp, n_supervise=3, max_build=5,
-                                         exclude_traj=1)
+    got = mem.get_random_scene_for_scone(rng, sp, n_supervise=3, n_loops=2,
+                                         max_build=5, exclude_traj=1)
     assert got is not None
-    traj, build, sup = got
+    traj, build, info = got
     assert traj == 0
-    assert 1 <= len(build) <= 5
+    assert 1 <= len(build) <= 4  # reference randint(1, max) is hi-exclusive
     assert build == list(range(build[0], build[0] + len(build)))
-    assert sup[0] == build[-1]  # first supervision depth = last build depth
-    assert len(sup) == 3
-    assert all(0 <= x < 12 for x in build + sup)
+    # 2 windows of 3 supervision depths each fit after the build without clamp
+    assert build[-1] + 2 * (3 - 1) <= 11
 
-    # random_poses mode draws the tail from unused depths
-    traj, build, sup = mem.get_random_scene_for_scone(
-        rng, sp, n_supervise=3, max_build=5, random_poses=True, exclude_traj=1)
-    assert sup[0] == build[-1]
-    assert all(x not in build for x in sup[1:])
+    # pseudo-GT = (supervision_occ > 0) & (out_of_field < 1) from the snapshot
+    # (reference save_occupancy_field_in_memory :631-632)
+    expected = ((occ > 0) & (oof < 1)).astype(np.float32)
+    np.testing.assert_array_equal(info["pseudo_gt"], expected)
+    np.testing.assert_array_equal(info["n_inside_fov"], np.full((50, 1), 3.0))
+    np.testing.assert_array_equal(info["n_behind_depth"], np.full((50, 1), 2.0))
+    assert info["n_depths"] == 12
 
+    # A snapshot from a different proxy layout is skipped
+    assert mem.get_random_scene_for_scone(
+        rng, sp, 3, n_proxy_points=49, exclude_traj=1) is None
     # exclude the only populated trajectory -> nothing replayable
     assert mem.get_random_scene_for_scone(rng, sp, 3, exclude_traj=0) is None

@@ -75,6 +75,56 @@ def test_auto_method_selection(rng):
                                   np.asarray(scan.pix_to_face))
 
 
+def test_pairlist_binning_matches_topk(rng):
+    """The sorted pair-list binning (no (T, F) top_k) selects the SAME
+    per-tile face sets as the top_k binning — ascending face ids, big-face
+    merge included — so the pallas render is unchanged."""
+    verts, faces = random_mesh(rng, n_faces=300)
+    # Add a few BIG faces (span > cap) to exercise the merge path
+    big_verts = jnp.array([[-3, -3, 0.2], [3, -3, 0.2], [0, 3, 0.2],
+                           [-3, 3, -0.2], [3, 3, -0.2], [0, -3, -0.2]],
+                          jnp.float32)
+    verts = jnp.concatenate([verts, big_verts])
+    nb = 300 * 3
+    faces = jnp.concatenate([
+        faces, jnp.array([[nb, nb + 1, nb + 2], [nb + 3, nb + 4, nb + 5]],
+                         jnp.int32)])
+    cam = _cam(dist=5.0, elev=10.0, azim=70.0)
+    vp = ras.project_verts_batch(verts, cam)
+    tf_a, tv_a = ras._pairlist_bin(vp[0], faces, (40, 56), 16, 256)
+    # Reference sets from the top_k path
+    a = ras.rasterize(verts, faces, cam, (40, 56), method="pallas", tile=16,
+                      max_faces_per_tile=256, binning="topk")
+    b = ras.rasterize(verts, faces, cam, (40, 56), method="pallas", tile=16,
+                      max_faces_per_tile=256, binning="pairlist")
+    np.testing.assert_array_equal(np.asarray(a.pix_to_face),
+                                  np.asarray(b.pix_to_face))
+    np.testing.assert_allclose(np.asarray(a.zbuf), np.asarray(b.zbuf),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.bary), np.asarray(b.bary),
+                               atol=1e-6)
+    # Per-tile lists ascend by face id (the z tie-break contract)
+    tf = np.asarray(tf_a)
+    tv = np.asarray(tv_a)
+    for t in range(tf.shape[0]):
+        row = tf[t][tv[t]]
+        assert np.all(np.diff(row) > 0)
+
+
+def test_pairlist_matches_scan_render(rng):
+    """End-to-end: pairlist-binned pallas render == brute-force scan."""
+    verts, faces = random_mesh(rng, n_faces=150)
+    cam = _cam(dist=5.0)
+    a = ras.rasterize(verts, faces, cam, (37, 53), method="scan")
+    b = ras.rasterize(verts, faces, cam, (37, 53), method="pallas", tile=16,
+                      binning="pairlist")
+    same = np.asarray(a.pix_to_face)[0] == np.asarray(b.pix_to_face)[0]
+    assert same.mean() > 0.999
+    hit = np.asarray(a.pix_to_face)[0] >= 0
+    np.testing.assert_allclose(np.asarray(a.zbuf)[0][same & hit],
+                               np.asarray(b.zbuf)[0][same & hit], atol=1e-4)
+
+
 def test_pallas_tile_kernel_matches_scan(rng):
     """The Pallas per-tile kernel (interpret mode on CPU) reproduces the
     brute-force scan exactly: face ids, zbuf, barycentrics."""

@@ -107,6 +107,39 @@ def test_coverage_gain_counts_new_points(cfg):
     assert int(gain2) == 0
 
 
+def test_window_coverage_gains(cfg):
+    """Reference supervision-gain semantics (train_macarons.py:449-470):
+    window points pre-inserted with frame0=covered / rest=uncovered; each
+    frame's gain counts uncovered stored points near ITS cloud with NO marking
+    between frames; afterwards everything is covered."""
+    state = G.empty_grid(cfg)
+    rng = np.random.default_rng(6)
+    # Pre-existing (covered) surface
+    old = jnp.array(rng.uniform(-0.9, -0.5, (40, 3)), jnp.float32)
+    state = G.fill_cells(cfg, state, jax.random.PRNGKey(0), old,
+                         features=jnp.ones((40, 1)))
+    n_old = int(state.valid.sum())
+    # Window: frame 0 revisits the old region (covered, expect gain 0);
+    # frames 1 and 2 see the SAME new region (both count it: no intra-window
+    # marking).
+    new = jnp.array(rng.uniform(0.5, 0.9, (30, 3)), jnp.float32)
+    state = G.fill_cells(cfg, state, jax.random.PRNGKey(1), new,
+                         features=jnp.zeros((30, 1)))
+    n_new = int(state.valid.sum()) - n_old
+    pcs = jnp.stack([old[:30], new, new])
+    masks = jnp.ones((3, 30), bool)
+    gains, state = G.window_coverage_gains(cfg, state, pcs, masks,
+                                           surface_epsilon=0.01)
+    gains = np.asarray(gains)
+    assert gains[0] == 0.0  # frame 0 = previous pose, already covered
+    assert gains[1] == n_new and gains[2] == n_new  # no marking between frames
+    # set_all_features_to_value(1.): everything covered afterwards
+    assert float(state.features[..., 0].min()) == 1.0
+    gains2, _ = G.window_coverage_gains(cfg, state, pcs, masks,
+                                        surface_epsilon=0.01)
+    assert np.all(np.asarray(gains2) == 0.0)
+
+
 def test_scene_coverage_metric(cfg):
     gt = G.empty_grid(cfg)
     pts = jnp.array(

@@ -97,6 +97,44 @@ def test_occupancy_field_inference(scene_setup):
     assert np.asarray(mask2).sum() > 0
 
 
+def test_occupancy_field_full_coverage(scene_setup):
+    """full_field covers EVERY eligible cell regardless of the per-chunk cap
+    (reference compute_scene_occupancy_probability_field iterates all
+    englobing cells, macarons_utils.py:1433-1441; the cap applies only to
+    supervision). Chunked (max_cells=4) and one-shot (max_cells=27) full
+    fields must agree exactly."""
+    _, _, cam, cfg, surface, prox = scene_setup
+    occ_model = SconeOcc(seq_len=256, n_scale=3, k_for_knn=8,
+                         pts_embedding_dim=32, global_feature_dim=64,
+                         local_feature_dim=32, x_embedding_dim=64, n_code=1,
+                         n_heads=2)
+    table = R.build_cell_index_table(cfg, np.asarray(prox.points))
+    occ_vars = occ_model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 3)), jnp.zeros((1, 8, 3)),
+        jnp.zeros((1, 8, 64)))
+    run4 = R.make_occupancy_field_fn(occ_model, cfg, table, k_for_knn=8,
+                                     max_cells=4, cell_batch=2)
+    run27 = R.make_occupancy_field_fn(occ_model, cfg, table, k_for_knn=8,
+                                      max_cells=27, cell_batch=2)
+    key = jax.random.PRNGKey(1)
+    p_full, m_full, h_full = run4(occ_vars, prox, surface, cam.fov_camera_0,
+                                  key, full_field=True)
+    p_cap, m_cap, _ = run4(occ_vars, prox, surface, cam.fov_camera_0, key)
+    p_one, m_one, _ = run27(occ_vars, prox, surface, cam.fov_camera_0, key,
+                            full_field=True)
+    m_full, m_cap, m_one = map(np.asarray, (m_full, m_cap, m_one))
+    # Chunk partition must not change the result
+    np.testing.assert_array_equal(m_full, m_one)
+    np.testing.assert_allclose(np.asarray(p_full), np.asarray(p_one),
+                               atol=1e-5)
+    # The capped program's predictions are a strict subset: the scene has more
+    # eligible cells than the 4-cell cap
+    assert m_full.sum() > m_cap.sum()
+    assert not np.any(m_cap & ~m_full)
+    cells = np.asarray(G.cell_index(cfg, prox.points))
+    assert len(np.unique(cells[m_full])) > 4
+
+
 def test_fused_nbv_scoring(scene_setup):
     _, _, cam, cfg, surface, prox = scene_setup
     vis_model = SconeVis(pts_embedding_dim=32, n_code=1, n_heads=2)

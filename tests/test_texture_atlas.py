@@ -52,6 +52,54 @@ def test_untextured_material_uses_kd(tmp_path):
                                atol=1e-5)
 
 
+def test_mirror_remaps_atlas(tmp_path):
+    """Atlas-aware mirroring (VERDICT r2 Missing #5): a mirrored textured mesh
+    rendered from the mirrored camera is the horizontal mirror image of the
+    original render — the winding flip's barycentric-role swap is compensated
+    by the atlas remap. Also: double mirror round-trips the atlas exactly."""
+    import jax.numpy as jnp
+
+    from macarons_tpu.data.mesh_io import (
+        _remap_atlas_winding_flip, mirror_mesh,
+    )
+
+    path = _write_textured_quad(tmp_path)
+    mesh = load_obj(str(path), create_texture_atlas=True, texture_atlas_size=8)
+
+    # Round trip: two winding flips restore the atlas (interior texels exact)
+    twice = _remap_atlas_winding_flip(_remap_atlas_winding_flip(
+        mesh.texture_atlas))
+    np.testing.assert_allclose(twice, mesh.texture_atlas, atol=1e-5)
+
+    lights = PointLights.create(jnp.zeros((1, 3)), ambient=1.0, diffuse=0.0,
+                                specular=0.0)
+
+    def render(m, eye):
+        R, T = look_at_view_transform(eye=jnp.asarray([eye]),
+                                      at=jnp.zeros((1, 3)))
+        cam = FoVCamera.create(R, T, zfar=10.0)
+        img, frags = render_mesh(
+            jnp.asarray(m.verts), jnp.asarray(m.faces), cam, (48, 48), lights,
+            texture_atlas=jnp.asarray(m.texture_atlas), background=0.0)
+        return np.asarray(img)[0], np.asarray(frags.pix_to_face)[0] >= 0
+
+    eye = [0.3, 0.4, 2.0]  # off-axis to catch orientation mistakes
+    img0, hit0 = render(mesh, eye)
+    mirrored = mirror_mesh(mesh, [0])
+    img1, hit1 = render(mirrored, [-eye[0], eye[1], eye[2]])
+    flipped = img1[:, ::-1]
+    hit_both = hit0 & hit1[:, ::-1]
+    assert hit_both.mean() > 0.3
+    # Edge pixels can disagree by rasterization ties; interior must match
+    diff = np.abs(img0 - flipped)[hit_both]
+    assert np.quantile(diff, 0.95) < 0.05, diff.mean()
+
+    # Control: WITHOUT the remap the mirrored render shows wrong texels
+    wrong = mirrored._replace(texture_atlas=mesh.texture_atlas)
+    img2, _ = render(wrong, [-eye[0], eye[1], eye[2]])
+    assert np.abs(img0 - img2[:, ::-1])[hit_both].mean() > 0.05
+
+
 def test_textured_render_shows_texture(tmp_path):
     """Rendering the baked atlas puts red on the left half of the image and
     blue on the right (matching the texture through the uv mapping)."""

@@ -41,6 +41,48 @@ def two_scene_dir(tmp_path_factory):
     return str(root)
 
 
+def test_parallel_replay_volume_parity():
+    """Depth-replay volume matches the reference's per-rank replay: a group of
+    S scenes draws S x n_memory_samples frames per memory step
+    (reference train_macarons.py:1190-1207; VERDICT r2 Weak #3)."""
+    calls = []
+
+    class FakeMemory:
+        def current_trajectory(self):
+            return 0
+
+        def sample_depth_replay(self, rs, n_samples, n_context,
+                                exclude_traj=None):
+            calls.append(n_samples)
+            return None  # nothing replayable -> loop exits after sampling
+
+    class FakeRT:
+        class dcfg:
+            n_alpha = 2
+            use_future_frame_for_supervision = False
+
+        params = Params(dict(n_memory_samples=4))
+
+    rs = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    TM.memory_depth_loop(FakeRT(), FakeMemory(), "p", None, {}, key, rs)
+    TM.memory_depth_loop(FakeRT(), FakeMemory(), "p", None, {}, key, rs,
+                         scale=4)
+    assert calls == [4, 16]
+
+
+def test_device_count_fit(two_scene_dir, tmp_path):
+    """Pinned n_devices that does not divide the group raises instead of
+    silently degrading to one device (VERDICT r2 Weak #4)."""
+    params = Params(dict(
+        TINY, data_path=two_scene_dir, n_parallel_scenes=2, n_devices=3,
+        n_poses_in_trajectory=1, macarons_model_name="bad_mac",
+    ))
+    with pytest.raises(ValueError, match="n_parallel_scenes"):
+        TM.run_training(params, weights_dir=str(tmp_path / "w"),
+                        memory_root=str(tmp_path / "mem"), verbose=False)
+
+
 def test_scene_parallel_training(two_scene_dir, tmp_path):
     """Both scenes of an epoch train in ONE group: depth step over the
     concatenated (sharded) frame axis, scone step vmapped over the (sharded)

@@ -105,6 +105,32 @@ def view_state_bins(ray_elev, ray_azim, n_elev, n_azim):
     return torch.remainder(indices, n_elev * n_azim)
 
 
+def view_space_bins(ray_elev, ray_azim, n_elev, n_azim):
+    """move_view_state_to_view_space's bin variant (scone_utils.py:908-925):
+    same rounding as view_state_bins but SYMMETRIC elev clamps
+    (upper n_elev//2, lower -(n_elev//2))."""
+    elev_step = math.pi / (n_elev + 1)
+    azim_step = 2 * math.pi / n_azim
+    idx_elev = trunc_div(ray_elev, elev_step)
+    idx_azim = trunc_div(ray_azim, azim_step)
+    idx_elev = idx_elev + (torch.remainder(ray_elev, elev_step)
+                           > elev_step / 2.0).to(idx_elev.dtype)
+    idx_azim = idx_azim + (torch.remainder(ray_azim, azim_step)
+                           > azim_step / 2.0).to(idx_azim.dtype)
+    upper = n_elev // 2
+    idx_elev = torch.where(
+        idx_elev > upper, torch.full_like(idx_elev, upper), idx_elev)
+    idx_elev = torch.where(
+        idx_elev < -upper, torch.full_like(idx_elev, -upper), idx_elev)
+    idx_azim = torch.where(
+        idx_azim > n_azim // 2, torch.full_like(idx_azim, -(n_azim // 2)),
+        idx_azim)
+    idx_elev = idx_elev + n_elev // 2
+    idx_azim = torch.where(idx_azim < 0, idx_azim + n_azim, idx_azim)
+    indices = idx_elev.long() * n_azim + idx_azim.long()
+    return torch.remainder(indices, n_elev * n_azim)
+
+
 # ---------------------------------------------------------------------------
 # View harmonics: L2 spherical inner product (reference scone_utils.py:934-960)
 # ---------------------------------------------------------------------------
