@@ -21,9 +21,13 @@ import json
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+from macarons_tpu.utils.platform import configure_platform
+
+configure_platform()  # persistent compilation cache before first backend use
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
 
 
 def log(*a):

@@ -393,6 +393,93 @@ def _pairlist_bin(verts_proj_1, faces, image_size, tile: int, K: int,
     return jnp.where(tile_valid, merged, 0), tile_valid
 
 
+def _pairlist_pairs(verts_proj_1, faces, image_size, tile: int,
+                    span_cap: int = 2, eps: float = 1e-8, face_mask=None):
+    """Pair-list binning WITHOUT densification: returns the tile-sorted pair
+    arrays a pair-consuming kernel (ops.pallas.tile_raster._pair_kernel) reads
+    directly, skipping the two big (T, K) gathers of the dense layout.
+
+    Returns (pair10 (F*E, 10) f32 [x0 y0 z0 x1 y1 z1 x2 y2 z2 face_id],
+    starts (T,) int32, counts (T,) int32 [valid pairs per tile, contiguous],
+    big (F,) bool [faces spanning > span_cap^2 tiles — NOT in the pair list],
+    flat (F, 9) f32)."""
+    H, W = image_size
+    F = faces.shape[0]
+    pad_h = (-H) % tile
+    pad_w = (-W) % tile
+    TH, TW = (H + pad_h) // tile, (W + pad_w) // tile
+    T = TH * TW
+    s = min(H, W)
+    slack = 2.0 / (s - 1)
+    dtype = verts_proj_1.dtype
+
+    fv = verts_proj_1[faces]  # (F, 3, 3)
+    z_ok = jnp.all(fv[..., 2] > eps, axis=-1)
+    ok_face = z_ok if face_mask is None else (face_mask & z_ok)
+    fx = fv[..., 0]
+    fy = fv[..., 1]
+    fxm = jnp.min(fx, axis=-1)
+    fxM = jnp.max(fx, axis=-1)
+    fym = jnp.min(fy, axis=-1)
+    fyM = jnp.max(fy, axis=-1)
+
+    def tile_range(lo_v, hi_v, extent, n_tiles):
+        c_max = jnp.floor(
+            (extent / s - lo_v + slack) * (s - 1) / 2.0 / tile + 1e-3)
+        c_min = jnp.ceil(
+            ((extent / s - hi_v - slack) * (s - 1) / 2.0 + 1.0) / tile
+            - 1.0 - 1e-3)
+        c_min = jnp.clip(c_min, 0, n_tiles - 1).astype(jnp.int32)
+        c_max = jnp.clip(c_max, 0, n_tiles - 1).astype(jnp.int32)
+        return c_min, c_max
+
+    cmin, cmax = tile_range(fxm, fxM, float(W), TW)
+    rmin, rmax = tile_range(fym, fyM, float(H), TH)
+    span_w = cmax - cmin + 1
+    span_h = rmax - rmin + 1
+    onscreen = ok_face & (span_w >= 1) & (span_h >= 1)
+    small = onscreen & (span_w <= span_cap) & (span_h <= span_cap)
+    big = onscreen & ~small
+
+    cols0 = jnp.arange(TW, dtype=dtype) * tile
+    rows0 = jnp.arange(TH, dtype=dtype) * tile
+    x_hi = W / s - 2.0 * cols0 / (s - 1)
+    x_lo = W / s - 2.0 * (cols0 + tile - 1) / (s - 1)
+    y_hi = H / s - 2.0 * rows0 / (s - 1)
+    y_lo = H / s - 2.0 * (rows0 + tile - 1) / (s - 1)
+
+    E = span_cap * span_cap
+    e = jnp.arange(E, dtype=jnp.int32)
+    dy = (e // span_cap)[None, :]  # (1, E)
+    dx = (e % span_cap)[None, :]
+    r = rmin[:, None] + dy  # (F, E)
+    c = cmin[:, None] + dx
+    in_span = (dy < span_h[:, None]) & (dx < span_w[:, None]) & small[:, None]
+    r_c = jnp.clip(r, 0, TH - 1)
+    c_c = jnp.clip(c, 0, TW - 1)
+    hit = ((fxm[:, None] <= x_hi[c_c] + slack)
+           & (fxM[:, None] >= x_lo[c_c] - slack)
+           & (fym[:, None] <= y_hi[r_c] + slack)
+           & (fyM[:, None] >= y_lo[r_c] - slack) & in_span)
+    tile_id = r_c * TW + c_c  # (F, E)
+    face_id = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[:, None],
+                               (F, E))
+    sentinel = jnp.int32(T) * F
+    keys = jnp.where(hit, tile_id * F + face_id, sentinel).reshape(-1)
+    sorted_keys, sorted_faces = jax.lax.sort(
+        (keys, face_id.reshape(-1)), num_keys=1)
+
+    base = jnp.arange(T, dtype=jnp.int32) * F
+    starts = jnp.searchsorted(sorted_keys, base).astype(jnp.int32)
+    ends = jnp.searchsorted(sorted_keys, base + F).astype(jnp.int32)
+
+    flat = fv.reshape(F, 9)
+    pair10 = jnp.concatenate(
+        [flat[sorted_faces], sorted_faces[:, None].astype(jnp.float32)],
+        axis=1)  # (F*E, 10)
+    return pair10, starts, ends - starts, big, flat
+
+
 @partial(jax.jit, static_argnames=("image_size", "tile", "max_faces_per_tile",
                                    "perspective_correct", "binning"))
 def _rasterize_batch_binned_pallas(verts_proj, faces, image_size, tile: int,
@@ -440,14 +527,109 @@ def _rasterize_batch_binned_pallas(verts_proj, faces, image_size, tile: int,
     K = -(-K // 128) * 128  # lane-align the face axis
 
     use_pairlist = (binning == "pairlist" and T * (F + 1) < 2**31 - 1)
+    interpret = jax.default_backend() == "cpu"
 
-    def bin_one(vp):
-        """Per-camera binning: (V, 3) -> (tile_fv (T, 9, K), valid, faces)."""
-        fv = vp[faces]  # (F, 3, 3)
-        if use_pairlist:
-            tile_faces, tile_valid = _pairlist_bin(
-                vp, faces, image_size, tile, K, face_mask=face_mask, eps=eps)
-        else:
+    if use_pairlist:
+        from .pallas.tile_raster import pallas_rasterize_pairs
+
+        # Small faces (span <= 2x2 tiles, the overwhelming majority): the
+        # tile-sorted pair arrays feed the pair-consuming kernel directly —
+        # no dense (T, K) face lists, so no (T, K) small-list gather, no
+        # (T, 9, K) fv gather and no slot->face gather (the three dominant
+        # costs of the dense layout at 50k faces).
+        pair10, starts, counts, big, flat = jax.vmap(
+            lambda vp: _pairlist_pairs(vp, faces, image_size, tile,
+                                       face_mask=face_mask, eps=eps)
+        )(verts_proj)
+        FE = pair10.shape[1]
+        k_chunk = 256
+        pad = (-FE) % k_chunk
+        if pad:
+            pair10 = jnp.pad(pair10, ((0, 0), (0, pad), (0, 0)))
+        FEp = FE + pad
+        pfv = pair10.reshape(N * FEp, 10).T  # (10, N*FEp)
+        starts_g = (starts
+                    + (jnp.arange(N, dtype=jnp.int32) * FEp)[:, None]
+                    ).reshape(-1)
+        counts_g = counts.reshape(-1)
+        zs, fids, b0s, b1s = pallas_rasterize_pairs(
+            pfv, starts_g, counts_g, tile, TW, H, W, n_tiles=T,
+            k_chunk=k_chunk, K_cap=K,
+            perspective_correct=perspective_correct, interpret=interpret)
+        zs, fids, b0s, b1s = (x[:, 0, :] for x in (zs, fids, b0s, b1s))
+
+        # Big faces (ground planes, close-up walls) go through a narrow dense
+        # pass and fold in with a face-id tie-break; scenes without any big
+        # face skip the whole branch at runtime (lax.cond).
+        Kb = 128
+
+        def no_big():
+            z = jnp.full((N * T, tile * tile), -1.0, jnp.float32)
+            return z, z, jnp.zeros_like(z), jnp.zeros_like(z)
+
+        def with_big():
+            B = min(2048, F)
+
+            def one(flat_c, big_c):
+                fxm = jnp.min(flat_c[:, 0::3], axis=1)
+                fxM = jnp.max(flat_c[:, 0::3], axis=1)
+                fym = jnp.min(flat_c[:, 1::3], axis=1)
+                fyM = jnp.max(flat_c[:, 1::3], axis=1)
+                bsc = jnp.where(big_c, -jnp.arange(F, dtype=jnp.float32),
+                                neg_big)
+                tops, big_ids = jax.lax.top_k(bsc, B)  # ascending face ids
+                bok = tops > neg_big / 2
+                bhit = ((fxm[big_ids][None, :] <= tile_x_max[:, None] + slack)
+                        & (fxM[big_ids][None, :] >= tile_x_min[:, None] - slack)
+                        & (fym[big_ids][None, :] <= tile_y_max[:, None] + slack)
+                        & (fyM[big_ids][None, :] >= tile_y_min[:, None] - slack)
+                        & bok[None, :])  # (T, B)
+                # First Kb hits per tile in lane order = ascending face ids
+                lsc = jnp.where(
+                    bhit, -jnp.arange(B, dtype=jnp.float32)[None, :], neg_big)
+                if B < Kb:  # tiny meshes: top_k k must be <= the lane count
+                    lsc = jnp.pad(lsc, ((0, 0), (0, Kb - B)),
+                                  constant_values=neg_big)
+                t2, lidx = jax.lax.top_k(lsc, Kb)
+                lidx = jnp.minimum(lidx, B - 1)
+                bvalid = t2 > neg_big / 2
+                bfaces = big_ids[lidx]  # (T, Kb)
+                bfv = jnp.moveaxis(flat_c[bfaces], -1, 1)  # (T, 9, Kb)
+                return bfv, bvalid, bfaces
+
+            bfv, bvalid, bfaces = jax.vmap(one)(flat, big)
+            zb_t, slotb, b0b, b1b = pallas_rasterize_tiles(
+                bfv.reshape(N * T, 9, Kb),
+                bvalid.reshape(N * T, Kb).astype(jnp.float32)[:, None, :],
+                tile, TW, H, W, n_tiles=T,
+                perspective_correct=perspective_correct, interpret=interpret)
+            zb_t, slotb, b0b, b1b = (x[:, 0, :] for x in
+                                     (zb_t, slotb, b0b, b1b))
+            sloti = jnp.maximum(slotb.astype(jnp.int32), 0)
+            fidb = jnp.take_along_axis(bfaces.reshape(N * T, Kb), sloti,
+                                       axis=1).astype(jnp.float32)
+            fidb = jnp.where(slotb >= 0, fidb, -1.0)
+            return zb_t, fidb, b0b, b1b
+
+        zb, fidb, b0b, b1b = jax.lax.cond(jnp.any(big), with_big, no_big)
+        hit_s = fids >= 0
+        hit_b = fidb >= 0
+        # z tie across the two passes: smaller face id wins (the single-pass
+        # argmin tie-break; ids in both passes are exact in f32).
+        better = hit_b & (~hit_s | (zb < zs)
+                          | ((zb == zs) & (fidb < fids)))
+        zbuf_t = jnp.where(better, zb, zs)
+        fidm = jnp.where(better, fidb, fids)
+        b0 = jnp.where(better, b0b, b0s)
+        b1 = jnp.where(better, b1b, b1s)
+        hit = fidm >= 0
+        face_id = jnp.where(hit, fidm.astype(jnp.int32), -1)
+        bary = jnp.stack((b0, b1, jnp.where(hit, 1.0 - b0 - b1, 0.0)),
+                         axis=-1)
+    else:
+        def bin_one(vp):
+            """Per-camera binning: (V, 3) -> (tile_fv (T,9,K), valid, faces)."""
+            fv = vp[faces]  # (F, 3, 3)
             z_ok = jnp.all(fv[..., 2] > eps, axis=-1)
             fx = fv[..., 0]
             fy = fv[..., 1]
@@ -471,31 +653,32 @@ def _rasterize_batch_binned_pallas(verts_proj, faces, image_size, tile: int,
                 top_scores = jnp.pad(top_scores, ((0, 0), (0, K - F)),
                                      constant_values=neg_big)
             tile_valid = top_scores > neg_big / 2
-        # Stage per-tile face data: (T, 9, K)
-        flat = fv.reshape(F, 9)  # x0 y0 z0 x1 y1 z1 x2 y2 z2
-        tile_fv = jnp.moveaxis(flat[tile_faces], -1, 1)
-        return tile_fv, tile_valid, tile_faces
+            # Stage per-tile face data: (T, 9, K)
+            flat = fv.reshape(F, 9)  # x0 y0 z0 x1 y1 z1 x2 y2 z2
+            tile_fv = jnp.moveaxis(flat[tile_faces], -1, 1)
+            return tile_fv, tile_valid, tile_faces
 
-    tile_fv, tile_valid, tile_faces = jax.vmap(bin_one)(verts_proj)
-    tile_fv = tile_fv.reshape(N * T, 9, K)
-    tile_valid = tile_valid.reshape(N * T, K)
-    tile_faces = tile_faces.reshape(N * T, K)
+        tile_fv, tile_valid, tile_faces = jax.vmap(bin_one)(verts_proj)
+        tile_fv = tile_fv.reshape(N * T, 9, K)
+        tile_valid = tile_valid.reshape(N * T, K)
+        tile_faces = tile_faces.reshape(N * T, K)
 
-    zbuf_t, slot_t, b0_t, b1_t = pallas_rasterize_tiles(
-        tile_fv, tile_valid.astype(jnp.float32)[:, None, :], tile, TW, H, W,
-        n_tiles=T, perspective_correct=perspective_correct,
-        interpret=(jax.default_backend() == "cpu"))
-    zbuf_t, slot_t, b0_t, b1_t = (x[:, 0, :] for x in
-                                  (zbuf_t, slot_t, b0_t, b1_t))
+        zbuf_t, slot_t, b0_t, b1_t = pallas_rasterize_tiles(
+            tile_fv, tile_valid.astype(jnp.float32)[:, None, :], tile, TW, H,
+            W, n_tiles=T, perspective_correct=perspective_correct,
+            interpret=interpret)
+        zbuf_t, slot_t, b0_t, b1_t = (x[:, 0, :] for x in
+                                      (zbuf_t, slot_t, b0_t, b1_t))
 
-    # slot -> global face id
-    slot_i = jnp.maximum(slot_t.astype(jnp.int32), 0)
-    face_id = jnp.take_along_axis(tile_faces, slot_i, axis=1)
-    hit = slot_t >= 0
-    face_id = jnp.where(hit, face_id, -1)
-    b0 = jnp.where(hit, b0_t, 0.0)
-    b1 = jnp.where(hit, b1_t, 0.0)
-    bary = jnp.stack((b0, b1, jnp.where(hit, 1.0 - b0 - b1, 0.0)), axis=-1)
+        # slot -> global face id
+        slot_i = jnp.maximum(slot_t.astype(jnp.int32), 0)
+        face_id = jnp.take_along_axis(tile_faces, slot_i, axis=1)
+        hit = slot_t >= 0
+        face_id = jnp.where(hit, face_id, -1)
+        b0 = jnp.where(hit, b0_t, 0.0)
+        b1 = jnp.where(hit, b1_t, 0.0)
+        bary = jnp.stack((b0, b1, jnp.where(hit, 1.0 - b0 - b1, 0.0)),
+                         axis=-1)
 
     def untile(x, channels=None):
         if channels is None:
@@ -524,10 +707,10 @@ def project_verts_batch(verts, camera):
 
 
 # Default binning stage for the pallas path. 'pairlist' avoids the (T, F)
-# top_k (see _pairlist_bin) but measured SLOWER on v5e-1 at 50k faces
-# (45 vs 34 ms/frame — XLA's bitonic sorts dominate); 'topk' stays default.
-# Benchmark: data_tools/bench_rasterizer.py.
-PALLAS_BINNING = "topk"
+# top_k via a sorted (face, tile) pair list feeding the pair-consuming kernel
+# directly; on v5e-1 at 50k faces it measures 14.3 vs 33.3 ms/frame (2.33x,
+# exact pixel match). Benchmark: data_tools/bench_rasterizer.py.
+PALLAS_BINNING = "pairlist"
 
 
 def rasterize(verts, faces, camera, image_size, chunk: int = 256,
@@ -553,8 +736,8 @@ def rasterize(verts, faces, camera, image_size, chunk: int = 256,
     F = faces.shape[0]
     if method == "auto":
         if F > 4 * max_faces_per_tile:
-            # On TPU the Pallas per-tile kernel is ~2.3x the XLA binned path
-            # (32 vs 72 ms at 50k faces); on CPU it would run interpreted.
+            # On TPU the Pallas pair-list path is ~6.7x the XLA binned path
+            # (14.3 vs 96 ms at 50k faces); on CPU it would run interpreted.
             method = ("pallas" if jax.default_backend() == "tpu"
                       else "binned")
         else:

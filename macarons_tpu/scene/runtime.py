@@ -237,7 +237,13 @@ def occupancy_field_impl(occ_model, n_elev: int = 7, n_azim: int = 14,
             else:
                 vh_in = vhs
 
+            @jax.checkpoint
             def per_cell(args):
+                # Rematerialized under grad: without checkpoint the lax.map
+                # scan saves EVERY chunk's transformer intermediates for the
+                # backward pass (M/cell_batch x attention scores = tens of GB
+                # at 2048-pt sequences — exceeds v5e HBM); with it, backward
+                # recomputes one chunk at a time. Inference is unaffected.
                 pcn_i, Xn_i, vh_i, m_i = args
                 return occ_model.apply(
                     model_vars, pcn_i[None], Xn_i[None], vh_i[None],

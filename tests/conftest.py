@@ -19,12 +19,40 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the suite's cost is dominated by XLA CPU
+# compiles of the trainer programs; repeated runs hit the cache. Keyed by a
+# test-specific dir so AOT entries never leak to/from production runs.
+_cache = os.environ.get(
+    "MACARONS_TEST_CACHE_DIR",
+    os.path.join(os.path.expanduser("~"), ".cache", "macarons_tpu_test_jax"))
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert jax.device_count() == 8, jax.device_count()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "heavy: multi-minute integration run; skipped unless "
+        "MACARONS_RUN_HEAVY=1 (fast equivalents keep default coverage)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("MACARONS_RUN_HEAVY"):
+        return
+    skip = pytest.mark.skip(reason="heavy integration test; set "
+                            "MACARONS_RUN_HEAVY=1 to run")
+    for item in items:
+        if "heavy" in item.keywords:
+            item.add_marker(skip)
 
 
 @pytest.fixture

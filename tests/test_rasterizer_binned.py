@@ -92,11 +92,14 @@ def test_pairlist_binning_matches_topk(rng):
     cam = _cam(dist=5.0, elev=10.0, azim=70.0)
     vp = ras.project_verts_batch(verts, cam)
     tf_a, tv_a = ras._pairlist_bin(vp[0], faces, (40, 56), 16, 256)
-    # Reference sets from the top_k path
+    # Reference sets from the top_k path. K=512 so no tile overflows: under
+    # overflow the paths truncate differently BY DESIGN (topk drops the
+    # highest face ids including big faces; the pair path keeps big faces in
+    # a separate uncapped pass and truncates only the small-face segments).
     a = ras.rasterize(verts, faces, cam, (40, 56), method="pallas", tile=16,
-                      max_faces_per_tile=256, binning="topk")
+                      max_faces_per_tile=512, binning="topk")
     b = ras.rasterize(verts, faces, cam, (40, 56), method="pallas", tile=16,
-                      max_faces_per_tile=256, binning="pairlist")
+                      max_faces_per_tile=512, binning="pairlist")
     np.testing.assert_array_equal(np.asarray(a.pix_to_face),
                                   np.asarray(b.pix_to_face))
     np.testing.assert_allclose(np.asarray(a.zbuf), np.asarray(b.zbuf),

@@ -83,6 +83,7 @@ def test_device_count_fit(two_scene_dir, tmp_path):
                         memory_root=str(tmp_path / "mem"), verbose=False)
 
 
+@pytest.mark.heavy
 def test_scene_parallel_training(two_scene_dir, tmp_path):
     """Both scenes of an epoch train in ONE group: depth step over the
     concatenated (sharded) frame axis, scone step vmapped over the (sharded)
