@@ -2,10 +2,17 @@
 
 Decides ops.rasterizer.PALLAS_BINNING. Run on the real chip:
   python data_tools/bench_rasterizer.py [n_faces] [n_cams]
+
+Timing discipline (ROADMAP 'CRITICAL runtime facts'): every device array is
+passed as a jit ARGUMENT — closing a jitted function over a committed device
+array flips the tunneled runtime into synchronous dispatch and inflates every
+launch (this harness originally closed over the camera and measured
+14.3 ms/frame where the clean number was 12.4).
 """
 
 import sys
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -29,30 +36,40 @@ def sphere_mesh(n_t=160, n_p=161, r=5.0):
     c3 = np.roll(idx, -1, axis=1)[1:, :]
     faces = np.concatenate([np.stack([c0, c1, c2], -1).reshape(-1, 3),
                             np.stack([c1, c3, c2], -1).reshape(-1, 3)])
-    return jnp.asarray(verts, jnp.float32), jnp.asarray(faces, jnp.int32)
+    return verts.astype(np.float32), faces.astype(np.int32)
 
 
 def main():
     n_scale = int(sys.argv[1]) if len(sys.argv) > 1 else 160
     n_cams = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    verts, faces = sphere_mesh(n_scale, n_scale + 1)
-    print(f"backend={jax.default_backend()} faces={faces.shape[0]} "
+    verts_np, faces_np = sphere_mesh(n_scale, n_scale + 1)
+    print(f"backend={jax.default_backend()} faces={faces_np.shape[0]} "
           f"cams={n_cams}", file=sys.stderr)
-    R, T = geo.look_at_view_transform(
-        dist=12.0, elev=jnp.linspace(10, 40, n_cams),
-        azim=jnp.linspace(0, 120, n_cams))
-    cam = geo.FoVCamera.create(R, T, zfar=50.0)
     H, W = 256, 456
 
-    def run(tag, **kw):
-        f = jax.jit(lambda v: ras.rasterize(v, faces, cam, (H, W), **kw))
-        out = f(verts)
-        out.zbuf.block_until_ready()
-        n = 5
+    R_np, T_np = jax.device_get(geo.look_at_view_transform(
+        dist=12.0, elev=jnp.linspace(10, 40, n_cams),
+        azim=jnp.linspace(0, 120, n_cams)))
+
+    @partial(jax.jit, static_argnames=("method", "binning"))
+    def raster(verts, faces, R, T, method="pallas", binning="pairlist"):
+        cam = geo.FoVCamera.create(R, T, zfar=50.0)
+        fr = ras.rasterize(verts, faces, cam, (H, W), method=method,
+                           binning=binning)
+        return fr.pix_to_face, fr.zbuf
+
+    verts = jnp.asarray(verts_np)
+    faces = jnp.asarray(faces_np)
+    R = jnp.asarray(R_np)
+    T = jnp.asarray(T_np)
+
+    def run(tag, n=10, **kw):
+        out = raster(verts, faces, R, T, **kw)
+        out[0].block_until_ready()
         t0 = time.perf_counter()
         for _ in range(n):
-            out = f(verts)
-        out.zbuf.block_until_ready()
+            out = raster(verts, faces, R, T, **kw)
+        out[0].block_until_ready()
         dt = (time.perf_counter() - t0) / n
         print(f"{tag}: {dt * 1e3:.2f} ms total -> "
               f"{dt / n_cams * 1e3:.2f} ms/frame", file=sys.stderr)
@@ -60,9 +77,9 @@ def main():
 
     o1, t_topk = run("pallas+topk", method="pallas", binning="topk")
     o2, t_pair = run("pallas+pairlist", method="pallas", binning="pairlist")
-    same = np.mean(np.asarray(o1.pix_to_face) == np.asarray(o2.pix_to_face))
+    same = np.mean(np.asarray(o1[0]) == np.asarray(o2[0]))
     print(f"pairlist vs topk pix match: {same:.6f}", file=sys.stderr)
-    run("xla binned", method="binned")
+    run("xla binned", n=3, method="binned")
     print(f"speedup pairlist/topk: {t_topk / t_pair:.2f}x", file=sys.stderr)
 
 

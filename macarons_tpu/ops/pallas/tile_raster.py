@@ -141,51 +141,58 @@ def _tile_kernel(count_ref, fv_ref, valid_ref, zbuf_ref, slot_ref, b0_ref,
         b1_ref[0, 0, :] = jnp.zeros((P,), jnp.float32)
 
 
-def _pair_kernel(starts_ref, counts_ref, pfv_ref, zbuf_ref, fid_ref, b0_ref,
-                 b1_ref, *, tile: int, TW: int, H: int, W: int, n_tiles: int,
-                 k_chunk: int, K_cap: int,
-                 perspective_correct: bool, eps: float):
-    """Pair-list-consuming variant: instead of dense (T, 9, K) per-tile face
-    lists, each tile reads its CONTIGUOUS segment [start, start+count) of the
-    tile-sorted pair array pfv (10, NFE) — rows x0 y0 z0 x1 y1 z1 x2 y2 z2
-    face_id. Segments are not k_chunk-aligned, so chunk c covers global pair
-    positions [align_down(start) + c*k, ...) and lanes outside the segment
-    are masked. Winner id is emitted directly (no slot->face gather).
+def _pair_row_kernel(starts_ref, counts_ref, pfv_ref, zbuf_ref, fid_ref,
+                     b0_ref, b1_ref, *, tile: int, TW: int, H: int, W: int,
+                     n_tiles: int, k_chunk: int, CW: int, NFE: int,
+                     K_cap: int, perspective_correct: bool, eps: float):
+    """Pair-list-consuming kernel, ONE grid step per tile: the tile's whole
+    contiguous segment [start, start+count) of the tile-sorted pair array
+    pfv (10, NFE) — rows x0 y0 z0 x1 y1 z1 x2 y2 z2 face_id — arrives as a
+    single element-offset block (10, CW), and a dynamic-trip fori_loop folds
+    its k_chunk-wide sub-chunks in REGISTERS, writing each output block once.
+    vs the previous (tiles x chunks) 2-D grid this cuts grid steps ~5x (most
+    tiles hold 1 active chunk out of K_cap/k_chunk) and drops the per-chunk
+    output-block init/fold revisits — the per-step fixed cost dominated the
+    kernel at 50k faces (16.9 -> ~7 ms measured on v5e-1).
 
-    Ties: within a chunk the smallest lane wins = smallest face id (segments
-    ascend by face id); across chunks strict < keeps the earlier chunk =
-    smaller ids. Exactly the single-pass argmin tie-break."""
+    Ties: within a sub-chunk the smallest lane wins = smallest face id
+    (segments ascend by face id); across sub-chunks strict < keeps the
+    earlier chunk = smaller ids. Exactly the single-pass argmin tie-break."""
     i = pl.program_id(0)
     t = i % n_tiles
-    c = pl.program_id(1)
     ty = t // TW
     tx = t % TW
     P = tile * tile
 
     start = starts_ref[i]
     count = jnp.minimum(counts_ref[i], K_cap)
-    ofs = start % k_chunk
-    active = c * k_chunk < ofs + count
+    # Same clamped element offset the BlockSpec index map used.
+    off = jnp.minimum(start // k_chunk, (NFE - CW) // k_chunk) * k_chunk
+    ofs = start - off
 
-    @pl.when(active)
-    def _body():
-        pidx = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
-        di = (pidx // tile).astype(jnp.float32)
-        dj = (pidx % tile).astype(jnp.float32)
-        s = float(min(H, W))
-        row = ty.astype(jnp.float32) * tile + di  # (P, 1)
-        col = tx.astype(jnp.float32) * tile + dj
-        # PT3D NDC pixel mapping (ops.geometry.ndc_pixel_grid)
-        px = W / s - 2.0 * col / (s - 1.0)
-        py = H / s - 2.0 * row / (s - 1.0)
-        pix_ok = (row < H) & (col < W)  # padded tiles spill past the image
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    di = (pidx // tile).astype(jnp.float32)
+    dj = (pidx % tile).astype(jnp.float32)
+    s = float(min(H, W))
+    row = ty.astype(jnp.float32) * tile + di  # (P, 1)
+    col = tx.astype(jnp.float32) * tile + dj
+    # PT3D NDC pixel mapping (ops.geometry.ndc_pixel_grid)
+    px = W / s - 2.0 * col / (s - 1.0)
+    py = H / s - 2.0 * row / (s - 1.0)
+    pix_ok = (row < H) & (col < W)  # padded tiles spill past the image
 
-        base = (start // k_chunk + c) * k_chunk
-        lanepos = base + jax.lax.broadcasted_iota(jnp.int32, (1, k_chunk), 1)
-        valid = (lanepos >= start) & (lanepos < start + count)
+    j_lo = ofs // k_chunk  # 0 unless the offset clamped at the array end
+    j_hi = (ofs + count + k_chunk - 1) // k_chunk
+
+    def body(j, carry):
+        best_z, best_fid, best_b0, best_b1 = carry
+        lane0 = j * k_chunk
+        lanepos = lane0 + jax.lax.broadcasted_iota(jnp.int32, (1, k_chunk), 1)
+        valid = (lanepos >= ofs) & (lanepos < ofs + count)
+        blk = pfv_ref[:, pl.dslice(lane0, k_chunk)]  # (10, k_chunk)
 
         def fr(k):
-            return pfv_ref[k, :][None, :]  # (1, k_chunk)
+            return blk[k, :][None, :]  # (1, k_chunk)
 
         x0, y0, z0 = fr(0), fr(1), fr(2)
         x1, y1, z1 = fr(3), fr(4), fr(5)
@@ -230,29 +237,25 @@ def _pair_kernel(starts_ref, counts_ref, pfv_ref, zbuf_ref, fid_ref, b0_ref,
         hit = slot[:, 0] < _BIG / 2
         znew = zmin[:, 0]
 
-        @pl.when(c == 0)
-        def _init():
-            zbuf_ref[0, 0, :] = jnp.where(hit, znew, -1.0)
-            fid_ref[0, 0, :] = jnp.where(hit, fids, -1.0)
-            b0_ref[0, 0, :] = jnp.where(hit, b0s, 0.0)
-            b1_ref[0, 0, :] = jnp.where(hit, b1s, 0.0)
+        # Strict <: on a z tie the earlier sub-chunk (smaller face id) wins.
+        better = hit & (znew < best_z)
+        return (jnp.where(better, znew, best_z),
+                jnp.where(better, fids, best_fid),
+                jnp.where(better, b0s, best_b0),
+                jnp.where(better, b1s, best_b1))
 
-        @pl.when(c > 0)
-        def _fold():
-            cur_z = zbuf_ref[0, 0, :]
-            cur_has = fid_ref[0, 0, :] >= 0.0
-            better = hit & (~cur_has | (znew < cur_z))
-            zbuf_ref[0, 0, :] = jnp.where(better, znew, cur_z)
-            fid_ref[0, 0, :] = jnp.where(better, fids, fid_ref[0, 0, :])
-            b0_ref[0, 0, :] = jnp.where(better, b0s, b0_ref[0, 0, :])
-            b1_ref[0, 0, :] = jnp.where(better, b1s, b1_ref[0, 0, :])
+    init = (jnp.full((P,), _BIG, jnp.float32),
+            jnp.full((P,), -1.0, jnp.float32),
+            jnp.zeros((P,), jnp.float32),
+            jnp.zeros((P,), jnp.float32))
+    best_z, best_fid, best_b0, best_b1 = jax.lax.fori_loop(
+        j_lo, j_hi, body, init)
 
-    @pl.when(jnp.logical_not(active) & (c == 0))
-    def _empty_init():
-        zbuf_ref[0, 0, :] = jnp.full((P,), -1.0, jnp.float32)
-        fid_ref[0, 0, :] = jnp.full((P,), -1.0, jnp.float32)
-        b0_ref[0, 0, :] = jnp.zeros((P,), jnp.float32)
-        b1_ref[0, 0, :] = jnp.zeros((P,), jnp.float32)
+    hit = best_fid >= 0.0
+    zbuf_ref[0, 0, :] = jnp.where(hit, best_z, -1.0)
+    fid_ref[0, 0, :] = best_fid
+    b0_ref[0, 0, :] = best_b0
+    b1_ref[0, 0, :] = best_b1
 
 
 @partial(jax.jit, static_argnames=("tile", "TW", "H", "W", "n_tiles",
@@ -271,11 +274,13 @@ def pallas_rasterize_pairs(pfv, starts, counts, tile: int, TW: int, H: int,
     Returns (zbuf, fid, b0, b1), each (R, 1, P) (fid f32, -1 = empty)."""
     NFE = pfv.shape[1]
     assert NFE % k_chunk == 0, (NFE, k_chunk)
-    nblk = NFE // k_chunk
     R = starts.shape[0]
     # A segment of up to K_cap pairs starting at any offset within its first
-    # chunk spans at most ceil((k_chunk-1 + K_cap) / k_chunk) chunks.
-    C = (K_cap - 1) // k_chunk + 2
+    # chunk spans at most this many k_chunk lanes.
+    CW = ((K_cap - 1) // k_chunk + 2) * k_chunk
+    if NFE < CW:
+        pfv = jnp.pad(pfv, ((0, 0), (0, CW - NFE)))
+        NFE = CW
     P = tile * tile
     out_shape = [
         jax.ShapeDtypeStruct((R, 1, P), jnp.float32),
@@ -283,20 +288,25 @@ def pallas_rasterize_pairs(pfv, starts, counts, tile: int, TW: int, H: int,
         jax.ShapeDtypeStruct((R, 1, P), jnp.float32),
         jax.ShapeDtypeStruct((R, 1, P), jnp.float32),
     ]
-    out_spec = pl.BlockSpec((1, 1, P), lambda i, j, s, c: (i, 0, 0))
+    out_spec = pl.BlockSpec((1, 1, P), lambda i, s, c: (i, 0, 0))
 
-    def pfv_map(i, j, s, c):
-        return (0, jnp.minimum(s[i] // k_chunk + j, nblk - 1))
+    def pfv_map(i, s, c):
+        # Element offset of the tile's window, clamped to stay in-array; the
+        # kernel recomputes the same offset to locate ofs = start - off.
+        # (min BEFORE the multiply so Mosaic can prove 128 | offset.)
+        return (0, jnp.minimum(s[i] // k_chunk,
+                               (NFE - CW) // k_chunk) * k_chunk)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(R, C),
-        in_specs=[pl.BlockSpec((10, k_chunk), pfv_map)],
+        grid=(R,),
+        in_specs=[pl.BlockSpec((pl.Element(10), pl.Element(CW)), pfv_map)],
         out_specs=[out_spec, out_spec, out_spec, out_spec],
     )
     return pl.pallas_call(
-        partial(_pair_kernel, tile=tile, TW=TW, H=H, W=W, n_tiles=n_tiles,
-                k_chunk=k_chunk, K_cap=K_cap,
+        partial(_pair_row_kernel, tile=tile, TW=TW, H=H, W=W,
+                n_tiles=n_tiles, k_chunk=k_chunk, CW=CW, NFE=NFE,
+                K_cap=K_cap,
                 perspective_correct=perspective_correct, eps=eps),
         out_shape=out_shape,
         grid_spec=grid_spec,

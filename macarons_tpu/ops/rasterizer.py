@@ -393,35 +393,45 @@ def _pairlist_bin(verts_proj_1, faces, image_size, tile: int, K: int,
     return jnp.where(tile_valid, merged, 0), tile_valid
 
 
-def _pairlist_pairs(verts_proj_1, faces, image_size, tile: int,
+def _pairlist_pairs(f9, image_size, tile: int,
                     span_cap: int = 2, eps: float = 1e-8, face_mask=None):
     """Pair-list binning WITHOUT densification: returns the tile-sorted pair
     arrays a pair-consuming kernel (ops.pallas.tile_raster._pair_kernel) reads
     directly, skipping the two big (T, K) gathers of the dense layout.
 
+    TPU layout notes (measured on v5e-1 at 50k faces, 4-cam batch — together
+    49.8 -> ~17 ms for this stage):
+    - input is STRUCTURE-OF-ARRAYS f9 (9, F) [rows x0 y0 z0 x1 y1 z1 x2 y2 z2]
+      so every bbox/span/hit op vectorises over F lanes (the old (F, 3, 3)
+      layout put the reductions on a minor dim of size 3);
+    - tile NDC bounds are computed ARITHMETICALLY from the tile index (they
+      are affine in it) — the old x_hi[c_c]-style table lookups were four
+      (F, E)-sized gathers costing more than the sort itself;
+    - the sort carries the key alone (face id = key % F since
+      key = tile*F + face) instead of a second operand;
+    - segment starts take ONE searchsorted over T+1 boundaries: tile t's
+      segment ends where tile t+1's begins.
+
     Returns (pair10 (F*E, 10) f32 [x0 y0 z0 x1 y1 z1 x2 y2 z2 face_id],
     starts (T,) int32, counts (T,) int32 [valid pairs per tile, contiguous],
     big (F,) bool [faces spanning > span_cap^2 tiles — NOT in the pair list],
-    flat (F, 9) f32)."""
+    f9 (9, F) f32)."""
     H, W = image_size
-    F = faces.shape[0]
+    F = f9.shape[1]
     pad_h = (-H) % tile
     pad_w = (-W) % tile
     TH, TW = (H + pad_h) // tile, (W + pad_w) // tile
     T = TH * TW
     s = min(H, W)
     slack = 2.0 / (s - 1)
-    dtype = verts_proj_1.dtype
 
-    fv = verts_proj_1[faces]  # (F, 3, 3)
-    z_ok = jnp.all(fv[..., 2] > eps, axis=-1)
+    x0, y0, z0, x1, y1, z1, x2, y2, z2 = (f9[i] for i in range(9))
+    z_ok = (z0 > eps) & (z1 > eps) & (z2 > eps)
     ok_face = z_ok if face_mask is None else (face_mask & z_ok)
-    fx = fv[..., 0]
-    fy = fv[..., 1]
-    fxm = jnp.min(fx, axis=-1)
-    fxM = jnp.max(fx, axis=-1)
-    fym = jnp.min(fy, axis=-1)
-    fyM = jnp.max(fy, axis=-1)
+    fxm = jnp.minimum(jnp.minimum(x0, x1), x2)
+    fxM = jnp.maximum(jnp.maximum(x0, x1), x2)
+    fym = jnp.minimum(jnp.minimum(y0, y1), y2)
+    fyM = jnp.maximum(jnp.maximum(y0, y1), y2)
 
     def tile_range(lo_v, hi_v, extent, n_tiles):
         c_max = jnp.floor(
@@ -441,48 +451,76 @@ def _pairlist_pairs(verts_proj_1, faces, image_size, tile: int,
     small = onscreen & (span_w <= span_cap) & (span_h <= span_cap)
     big = onscreen & ~small
 
-    cols0 = jnp.arange(TW, dtype=dtype) * tile
-    rows0 = jnp.arange(TH, dtype=dtype) * tile
-    x_hi = W / s - 2.0 * cols0 / (s - 1)
-    x_lo = W / s - 2.0 * (cols0 + tile - 1) / (s - 1)
-    y_hi = H / s - 2.0 * rows0 / (s - 1)
-    y_lo = H / s - 2.0 * (rows0 + tile - 1) / (s - 1)
-
     E = span_cap * span_cap
     e = jnp.arange(E, dtype=jnp.int32)
-    dy = (e // span_cap)[None, :]  # (1, E)
-    dx = (e % span_cap)[None, :]
-    r = rmin[:, None] + dy  # (F, E)
-    c = cmin[:, None] + dx
-    in_span = (dy < span_h[:, None]) & (dx < span_w[:, None]) & small[:, None]
+    dy = (e // span_cap)[:, None]  # (E, 1)
+    dx = (e % span_cap)[:, None]
+    r = rmin[None, :] + dy  # (E, F)
+    c = cmin[None, :] + dx
+    in_span = (dy < span_h[None, :]) & (dx < span_w[None, :]) & small[None, :]
     r_c = jnp.clip(r, 0, TH - 1)
     c_c = jnp.clip(c, 0, TW - 1)
-    hit = ((fxm[:, None] <= x_hi[c_c] + slack)
-           & (fxM[:, None] >= x_lo[c_c] - slack)
-           & (fym[:, None] <= y_hi[r_c] + slack)
-           & (fyM[:, None] >= y_lo[r_c] - slack) & in_span)
-    tile_id = r_c * TW + c_c  # (F, E)
-    face_id = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[:, None],
-                               (F, E))
+    # Tile NDC bounds are affine in the tile index: compute, don't look up.
+    cf = c_c.astype(f9.dtype)
+    rf = r_c.astype(f9.dtype)
+    x_hi = W / s - 2.0 * (cf * tile) / (s - 1)
+    x_lo = W / s - 2.0 * (cf * tile + tile - 1) / (s - 1)
+    y_hi = H / s - 2.0 * (rf * tile) / (s - 1)
+    y_lo = H / s - 2.0 * (rf * tile + tile - 1) / (s - 1)
+    hit = ((fxm[None, :] <= x_hi + slack)
+           & (fxM[None, :] >= x_lo - slack)
+           & (fym[None, :] <= y_hi + slack)
+           & (fyM[None, :] >= y_lo - slack) & in_span)
+    tile_id = r_c * TW + c_c  # (E, F)
+    face_id = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[None, :],
+                               (E, F))
     sentinel = jnp.int32(T) * F
     keys = jnp.where(hit, tile_id * F + face_id, sentinel).reshape(-1)
-    sorted_keys, sorted_faces = jax.lax.sort(
-        (keys, face_id.reshape(-1)), num_keys=1)
+    # Single-operand sort; key = tile*F + face so face id = key % F (the
+    # sentinel T*F maps to face 0, but those lanes sit past every segment's
+    # count and are never read). Duplicate keys are impossible (a face enters
+    # a tile at most once), so per-tile order ascends by face id exactly as
+    # the z tie-break requires.
+    sorted_keys = jax.lax.sort(keys)
+    sorted_faces = sorted_keys % F
 
-    base = jnp.arange(T, dtype=jnp.int32) * F
-    starts = jnp.searchsorted(sorted_keys, base).astype(jnp.int32)
-    ends = jnp.searchsorted(sorted_keys, base + F).astype(jnp.int32)
+    # Tile t's segment ends where tile t+1's starts: one searchsorted over
+    # T+1 band boundaries replaces the two T-sized ones.
+    bounds = jnp.arange(T + 1, dtype=jnp.int32) * F
+    edges = jnp.searchsorted(sorted_keys, bounds).astype(jnp.int32)
+    starts = edges[:-1]
+    counts = edges[1:] - starts
 
-    flat = fv.reshape(F, 9)
+    flat = f9.T  # (F, 9) rows for the row-gather below
     pair10 = jnp.concatenate(
         [flat[sorted_faces], sorted_faces[:, None].astype(jnp.float32)],
         axis=1)  # (F*E, 10)
-    return pair10, starts, ends - starts, big, flat
+    return pair10, starts, counts, big, f9
+
+
+def project_fv_batch(verts, faces, camera):
+    """World verts + faces -> per-camera SoA face data (N, 9, F) of
+    [x0 y0 z0 x1 y1 z1 x2 y2 z2] rows (x/y NDC, z view).
+
+    Gathers `verts[faces]` ONCE in world space and projects the gathered
+    copies per camera — N-1 fewer 3F-row gathers than projecting verts and
+    gathering per camera (the gather, not the extra projection matmuls, is
+    what costs on TPU)."""
+    n_cam = camera.R.shape[0]
+    F = faces.shape[0]
+    fvw = verts[faces].reshape(F * 3, 3)  # one gather
+    pts = jnp.broadcast_to(fvw[None], (n_cam, F * 3, 3))
+    view = camera.world_to_view(pts)
+    ndc = camera.project_view(view)
+    out = jnp.concatenate((ndc[..., :2], view[..., 2:]), axis=-1)
+    # (N, F, 3, 3)[n, f, v, c] -> (N, 3v+c, f)
+    return out.reshape(n_cam, F, 3, 3).transpose(0, 2, 3, 1).reshape(
+        n_cam, 9, F)
 
 
 @partial(jax.jit, static_argnames=("image_size", "tile", "max_faces_per_tile",
                                    "perspective_correct", "binning"))
-def _rasterize_batch_binned_pallas(verts_proj, faces, image_size, tile: int,
+def _rasterize_batch_binned_pallas(f9_batch, image_size, tile: int,
                                    max_faces_per_tile: int,
                                    perspective_correct: bool, face_mask=None,
                                    binning: str = "topk",
@@ -491,14 +529,15 @@ def _rasterize_batch_binned_pallas(verts_proj, faces, image_size, tile: int,
     (ops.pallas.tile_raster): same binning as _rasterize_single_binned, then
     one VMEM-staged kernel instance per tile instead of the lax.map sweep.
 
-    verts_proj (N, V, 3) — the WHOLE camera batch rasterizes in one kernel
-    launch (each camera's tiles stack on the grid axis), so a multi-frame
-    capture (e.g. the 4 interpolation steps of an NBV move) is one dispatch."""
+    f9_batch (N, 9, F) from project_fv_batch — the WHOLE camera batch
+    rasterizes in one kernel launch (each camera's tiles stack on the grid
+    axis), so a multi-frame capture (e.g. the 4 interpolation steps of an
+    NBV move) is one dispatch."""
     from .pallas.tile_raster import pallas_rasterize_tiles
 
     H, W = image_size
-    N = verts_proj.shape[0]
-    F = faces.shape[0]
+    N = f9_batch.shape[0]
+    F = f9_batch.shape[2]
     pad_h = (-H) % tile
     pad_w = (-W) % tile
     Hp, Wp = H + pad_h, W + pad_w
@@ -510,8 +549,8 @@ def _rasterize_batch_binned_pallas(verts_proj, faces, image_size, tile: int,
 
     # Tile NDC bounds straight from the pixel mapping (x decreases with col)
     s = min(H, W)
-    cols0 = jnp.arange(TW, dtype=verts_proj.dtype) * tile
-    rows0 = jnp.arange(TH, dtype=verts_proj.dtype) * tile
+    cols0 = jnp.arange(TW, dtype=f9_batch.dtype) * tile
+    rows0 = jnp.arange(TH, dtype=f9_batch.dtype) * tile
     x_hi = W / s - 2.0 * cols0 / (s - 1)  # col 0 of each tile (max x)
     x_lo = W / s - 2.0 * (cols0 + tile - 1) / (s - 1)
     y_hi = H / s - 2.0 * rows0 / (s - 1)
@@ -537,10 +576,10 @@ def _rasterize_batch_binned_pallas(verts_proj, faces, image_size, tile: int,
         # no dense (T, K) face lists, so no (T, K) small-list gather, no
         # (T, 9, K) fv gather and no slot->face gather (the three dominant
         # costs of the dense layout at 50k faces).
-        pair10, starts, counts, big, flat = jax.vmap(
-            lambda vp: _pairlist_pairs(vp, faces, image_size, tile,
+        pair10, starts, counts, big, f9b = jax.vmap(
+            lambda f9: _pairlist_pairs(f9, image_size, tile,
                                        face_mask=face_mask, eps=eps)
-        )(verts_proj)
+        )(f9_batch)
         FE = pair10.shape[1]
         k_chunk = 256
         pad = (-FE) % k_chunk
@@ -570,11 +609,11 @@ def _rasterize_batch_binned_pallas(verts_proj, faces, image_size, tile: int,
         def with_big():
             B = min(2048, F)
 
-            def one(flat_c, big_c):
-                fxm = jnp.min(flat_c[:, 0::3], axis=1)
-                fxM = jnp.max(flat_c[:, 0::3], axis=1)
-                fym = jnp.min(flat_c[:, 1::3], axis=1)
-                fyM = jnp.max(flat_c[:, 1::3], axis=1)
+            def one(f9_c, big_c):
+                fxm = jnp.minimum(jnp.minimum(f9_c[0], f9_c[3]), f9_c[6])
+                fxM = jnp.maximum(jnp.maximum(f9_c[0], f9_c[3]), f9_c[6])
+                fym = jnp.minimum(jnp.minimum(f9_c[1], f9_c[4]), f9_c[7])
+                fyM = jnp.maximum(jnp.maximum(f9_c[1], f9_c[4]), f9_c[7])
                 bsc = jnp.where(big_c, -jnp.arange(F, dtype=jnp.float32),
                                 neg_big)
                 tops, big_ids = jax.lax.top_k(bsc, B)  # ascending face ids
@@ -594,10 +633,10 @@ def _rasterize_batch_binned_pallas(verts_proj, faces, image_size, tile: int,
                 lidx = jnp.minimum(lidx, B - 1)
                 bvalid = t2 > neg_big / 2
                 bfaces = big_ids[lidx]  # (T, Kb)
-                bfv = jnp.moveaxis(flat_c[bfaces], -1, 1)  # (T, 9, Kb)
+                bfv = jnp.moveaxis(f9_c.T[bfaces], -1, 1)  # (T, 9, Kb)
                 return bfv, bvalid, bfaces
 
-            bfv, bvalid, bfaces = jax.vmap(one)(flat, big)
+            bfv, bvalid, bfaces = jax.vmap(one)(f9b, big)
             zb_t, slotb, b0b, b1b = pallas_rasterize_tiles(
                 bfv.reshape(N * T, 9, Kb),
                 bvalid.reshape(N * T, Kb).astype(jnp.float32)[:, None, :],
@@ -627,18 +666,19 @@ def _rasterize_batch_binned_pallas(verts_proj, faces, image_size, tile: int,
         bary = jnp.stack((b0, b1, jnp.where(hit, 1.0 - b0 - b1, 0.0)),
                          axis=-1)
     else:
-        def bin_one(vp):
-            """Per-camera binning: (V, 3) -> (tile_fv (T,9,K), valid, faces)."""
-            fv = vp[faces]  # (F, 3, 3)
-            z_ok = jnp.all(fv[..., 2] > eps, axis=-1)
-            fx = fv[..., 0]
-            fy = fv[..., 1]
+        def bin_one(f9):
+            """Per-camera binning: (9, F) -> (tile_fv (T,9,K), valid, faces)."""
+            z_ok = (f9[2] > eps) & (f9[5] > eps) & (f9[8] > eps)
+            fxm = jnp.minimum(jnp.minimum(f9[0], f9[3]), f9[6])
+            fxM = jnp.maximum(jnp.maximum(f9[0], f9[3]), f9[6])
+            fym = jnp.minimum(jnp.minimum(f9[1], f9[4]), f9[7])
+            fyM = jnp.maximum(jnp.maximum(f9[1], f9[4]), f9[7])
             ok_face = face_mask & z_ok
             overlap = (
-                (jnp.min(fx, axis=-1)[None, :] <= tile_x_max[:, None] + slack)
-                & (jnp.max(fx, axis=-1)[None, :] >= tile_x_min[:, None] - slack)
-                & (jnp.min(fy, axis=-1)[None, :] <= tile_y_max[:, None] + slack)
-                & (jnp.max(fy, axis=-1)[None, :] >= tile_y_min[:, None] - slack)
+                (fxm[None, :] <= tile_x_max[:, None] + slack)
+                & (fxM[None, :] >= tile_x_min[:, None] - slack)
+                & (fym[None, :] <= tile_y_max[:, None] + slack)
+                & (fyM[None, :] >= tile_y_min[:, None] - slack)
                 & ok_face[None, :]
             )
             # K smallest overlapping face indices per tile via (T, F) top_k
@@ -654,11 +694,11 @@ def _rasterize_batch_binned_pallas(verts_proj, faces, image_size, tile: int,
                                      constant_values=neg_big)
             tile_valid = top_scores > neg_big / 2
             # Stage per-tile face data: (T, 9, K)
-            flat = fv.reshape(F, 9)  # x0 y0 z0 x1 y1 z1 x2 y2 z2
+            flat = f9.T  # (F, 9) x0 y0 z0 x1 y1 z1 x2 y2 z2
             tile_fv = jnp.moveaxis(flat[tile_faces], -1, 1)
             return tile_fv, tile_valid, tile_faces
 
-        tile_fv, tile_valid, tile_faces = jax.vmap(bin_one)(verts_proj)
+        tile_fv, tile_valid, tile_faces = jax.vmap(bin_one)(f9_batch)
         tile_fv = tile_fv.reshape(N * T, 9, K)
         tile_valid = tile_valid.reshape(N * T, K)
         tile_faces = tile_faces.reshape(N * T, K)
@@ -708,8 +748,9 @@ def project_verts_batch(verts, camera):
 
 # Default binning stage for the pallas path. 'pairlist' avoids the (T, F)
 # top_k via a sorted (face, tile) pair list feeding the pair-consuming kernel
-# directly; on v5e-1 at 50k faces it measures 14.3 vs 33.3 ms/frame (2.33x,
-# exact pixel match). Benchmark: data_tools/bench_rasterizer.py.
+# directly; on v5e-1 at 50k faces / 4-cam batch it measures 4.3 vs 31.5
+# ms/frame (7.3x, exact pixel match) with the SoA binning + row-per-step
+# kernel. Benchmark: data_tools/bench_rasterizer.py.
 PALLAS_BINNING = "pairlist"
 
 
@@ -743,12 +784,13 @@ def rasterize(verts, faces, camera, image_size, chunk: int = 256,
         else:
             method = "scan"
 
-    vp = project_verts_batch(verts, camera)  # (N, V, 3)
     if method == "pallas":
+        f9 = project_fv_batch(verts, faces, camera)  # (N, 9, F)
         return _rasterize_batch_binned_pallas(
-            vp, faces, tuple(image_size), tile, max_faces_per_tile,
+            f9, tuple(image_size), tile, max_faces_per_tile,
             perspective_correct, face_mask=face_mask,
             binning=binning or PALLAS_BINNING)
+    vp = project_verts_batch(verts, camera)  # (N, V, 3)
     if method == "binned":
         return jax.vmap(lambda v: _rasterize_single_binned(
             v, faces, tuple(image_size), tile, max_faces_per_tile,
