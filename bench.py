@@ -297,8 +297,7 @@ def bench_pose_loop():
     cam = scene.camera
     cam.initialize(cam.get_random_valid_pose(
         rs, scene.verts_dev, proxy_points=scene.proxy.points))
-    for _ in range(1 + rt.dcfg.n_alpha):
-        TM.capture_and_save(scene, memory, mp)
+    TM.prime_ring(rt, scene, memory, mp)
 
     # Warmup pose compiles every program
     variables, opt_states, _, key = TM.nbv_loop_step(

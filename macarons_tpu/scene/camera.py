@@ -19,6 +19,7 @@ import numpy as np
 from ..ops.geometry import FoVCamera, get_cartesian_coords, look_at_view_transform
 from ..ops.projection import points_in_fov_mask
 from ..ops.rasterizer import PointLights, render_mesh
+from .depth_runtime import FrameRing, ring_push
 
 
 def get_camera_RT(X_cam, V_cam):
@@ -33,6 +34,60 @@ def get_camera_RT(X_cam, V_cam):
         in_degrees=True,
     ).reshape(-1, 3)
     return look_at_view_transform(eye=X_cam, at=X_cam + rays)
+
+
+@partial(jax.jit, static_argnames=("height", "width", "zfar",
+                                   "contrast_factor", "ambient"))
+def _capture_program(verts, faces, vert_colors, texture_atlas, R, T,
+                     height: int, width: int, zfar: float,
+                     contrast_factor: float, ambient: float):
+    """ONE device program for a whole capture batch: render + shade +
+    contrast + depth/mask extraction (the eager path issued ~30 launches
+    per capture — deadly once a d2h has flipped the tunneled runtime into
+    synchronous dispatch)."""
+    cam = FoVCamera.create(R, T, zfar=zfar)
+    # Reference capture uses AmbientLights (macarons_utils.py:715-719)
+    lights = PointLights.create(jnp.zeros((1, 3)), ambient=ambient,
+                                diffuse=0.0, specular=0.0)
+    images, frags = render_mesh(
+        verts, faces, cam, (height, width), lights,
+        vert_colors=vert_colors, texture_atlas=texture_atlas, background=1.0,
+        # PT3D picks perspective-correct interpolation for FoV cameras by
+        # default; the zbuf feeds carving/backprojection, so accuracy matters.
+        perspective_correct=True,
+    )
+    if contrast_factor != 1.0:
+        mean = jnp.mean(images, axis=(1, 2, 3), keepdims=True)
+        images = jnp.clip(mean + contrast_factor * (images - mean), 0, 1)
+    depth = frags.zbuf[..., None]
+    mask = depth > -1
+    return images, depth, mask
+
+
+@partial(jax.jit, static_argnames=("height", "width", "zfar",
+                                   "contrast_factor", "ambient"))
+def _capture_ring_program(verts, faces, vert_colors, texture_atlas, X, V,
+                          ring: FrameRing, height: int, width: int,
+                          zfar: float, contrast_factor: float,
+                          ambient: float):
+    """Fused interpolated-move capture: pose->extrinsics, render of ALL
+    interpolation steps, and the frame-ring push in one launch."""
+    R, T = get_camera_RT(X, V)
+    images, depth, mask = _capture_program(
+        verts, faces, vert_colors, texture_atlas, R, T, height, width, zfar,
+        contrast_factor, ambient)
+    ring = ring_push(ring, images, depth, mask, R, T, zfar)
+    return images, depth, mask, R, T, ring
+
+
+def capture_ring(camera: "Camera", verts, faces, X: np.ndarray, V: np.ndarray,
+                 ring: FrameRing, vert_colors=None, texture_atlas=None,
+                 ambient: float = 1.0):
+    """Host wrapper over _capture_ring_program using `camera`'s statics."""
+    return _capture_ring_program(
+        verts, faces, vert_colors, texture_atlas, jnp.asarray(X),
+        jnp.asarray(V), ring, camera.image_height, camera.image_width,
+        float(camera.zfar), float(camera.contrast_factor), float(ambient))
 
 
 def build_pose_shifts() -> np.ndarray:
@@ -301,24 +356,88 @@ class Camera:
         saved frame schema; persistence is handled by scene.memory.
         """
         cam = fov_camera if fov_camera is not None else self.fov_camera
-        if lights is None:
-            # Reference capture uses AmbientLights (macarons_utils.py:715-719)
-            lights = PointLights.create(
-                jnp.zeros((1, 3)), ambient=ambient_light_intensity,
-                diffuse=0.0, specular=0.0,
-            )
-        images, frags = render_mesh(
-            verts, faces, cam, (self.image_height, self.image_width), lights,
-            vert_colors=vert_colors, texture_atlas=texture_atlas,
-            background=1.0,
-            # PT3D picks perspective-correct interpolation for FoV cameras by
-            # default; the zbuf feeds carving/backprojection, so accuracy matters.
-            perspective_correct=True,
-        )
-        if self.contrast_factor != 1.0:
-            mean = jnp.mean(images, axis=(1, 2, 3), keepdims=True)
-            images = jnp.clip(mean + self.contrast_factor * (images - mean), 0, 1)
-        depth = frags.zbuf[..., None]
-        mask = depth > -1
+        images, depth, mask = _capture_program(
+            verts, faces, vert_colors, texture_atlas, cam.R, cam.T,
+            self.image_height, self.image_width, float(cam.zfar.reshape(-1)[0]),
+            float(self.contrast_factor), float(ambient_light_intensity))
         self.n_frames_captured += int(cam.R.shape[0])
         return images, depth, mask
+
+    def interpolated_poses(self, new_cam_idx) -> Tuple[np.ndarray, np.ndarray]:
+        """Host-numpy (X (K,3), V (K,2)) for all n_interpolation_steps of a
+        move to new_cam_idx (the per-step math of update_camera, reference
+        :2141-2183), WITHOUT touching the device — the fused capture program
+        consumes the whole batch in one launch."""
+        ps = self.pose_space
+        n_steps = self.n_interpolation_steps
+        old_idx = (np.asarray(new_cam_idx) if self.cam_idx is None
+                   else self.cam_idx)
+        old_pose = ps.pose_from_idx_np(old_idx)
+        new_pose = ps.pose_from_idx_np(new_cam_idx)
+        offset_azim = 0.0
+        if old_idx[4] == 0 and np.asarray(new_cam_idx)[4] == ps.pose_n_azim - 1:
+            offset_azim = -360.0
+        elif (old_idx[4] == ps.pose_n_azim - 1
+              and np.asarray(new_cam_idx)[4] == 0):
+            offset_azim = 360.0
+        Xs, Vs = [], []
+        for step in range(1, n_steps + 1):
+            a = step / n_steps
+            X = old_pose[:3] + (new_pose[:3] - old_pose[:3]) * a
+            V = (old_pose[3:] + (new_pose[3:] - old_pose[3:]) * a).copy()
+            if step != n_steps:
+                V[1] += offset_azim * a
+            Xs.append(X)
+            Vs.append(V)
+        return (np.stack(Xs).astype(np.float32),
+                np.stack(Vs).astype(np.float32))
+
+    def commit_move(self, new_cam_idx, X_interp: np.ndarray,
+                    V_interp: np.ndarray, R_dev, T_dev):
+        """Episode bookkeeping for a completed interpolated move: histories,
+        pose lattice state, and the new fov_camera built from the capture
+        program's (K,3,3)/(K,3) extrinsics (no extra device math)."""
+        ps = self.pose_space
+        for i in range(X_interp.shape[0]):
+            self.X_cam_history.append(X_interp[i : i + 1].copy())
+            self.V_cam_history.append(V_interp[i : i + 1].copy())
+        self.cam_idx = np.asarray(new_cam_idx)
+        self.cam_idx_history.append(np.asarray(new_cam_idx))
+        self.pose_history[ps.flat_index(new_cam_idx)] = True
+        self.X_cam = jnp.asarray(X_interp[-1:])
+        self.V_cam = jnp.asarray(V_interp[-1:])
+        self.fov_camera = FoVCamera.create(R_dev[-1:], T_dev[-1:],
+                                           zfar=self.zfar)
+        self.n_frames_captured += int(X_interp.shape[0])
+
+    def neighbor_candidates(self, bucket: int = 64):
+        """Padded candidate table for the fused decision program.
+
+        Returns (neighbor_idx (n,5) int, poses (B,5) f32, new_ok (B,),
+        visited (B,)) where B is the smallest multiple of `bucket` >= n.
+        new_ok marks unvisited, non-occupied neighbors (their final validity —
+        a non-empty FoV — is checked on device inside the decision program);
+        visited marks the fallback set (reference get_valid_neighbors
+        :2086-2115)."""
+        idx = np.asarray(self.get_neighboring_poses()).reshape(-1, 5)
+        ps = self.pose_space
+        flat = ps.flat_index(idx)
+        visited = self.pose_history[flat]
+        occupied = np.zeros((idx.shape[0],), bool)
+        if self.occupied_poses is not None:
+            occupied = np.asarray(
+                self.occupied_poses[idx[:, 0], idx[:, 1], idx[:, 2]]
+            ).astype(bool)
+        new_ok = ~visited & ~occupied
+        poses = (np.stack([ps.pose_from_idx_np(i) for i in idx])
+                 .astype(np.float32) if idx.shape[0]
+                 else np.zeros((0, 5), np.float32))
+        n = idx.shape[0]
+        B = max(bucket, ((n + bucket - 1) // bucket) * bucket)
+        pad = B - n
+        if pad:
+            filler = poses[:1] if n else np.zeros((1, 5), np.float32)
+            poses = np.concatenate([poses, np.repeat(filler, pad, axis=0)])
+            new_ok = np.concatenate([new_ok, np.zeros((pad,), bool)])
+            visited = np.concatenate([visited, np.zeros((pad,), bool)])
+        return idx, poses, new_ok, visited

@@ -46,6 +46,55 @@ class DepthBatchConfig(NamedTuple):
     hue_jitter_range: float = 0.05
 
 
+class FrameRing(NamedTuple):
+    """Device-resident ring of the most recent captured frames.
+
+    The online pose loop's decision and supervision windows only ever need the
+    last `n_interpolation_steps + n_alpha` frames; keeping them on device (the
+    reference re-reads every frame from disk, macarons_utils.py:763-803)
+    removes all disk reads and host round-trips from the hot loop. Frames are
+    still written to the Memory asynchronously for replay."""
+
+    images: jnp.ndarray  # (L, H, W, 3)
+    zbuf: jnp.ndarray  # (L, H, W, 1)
+    mask: jnp.ndarray  # (L, H, W, 1) bool
+    R: jnp.ndarray  # (L, 3, 3)
+    T: jnp.ndarray  # (L, 3)
+    zfar: jnp.ndarray  # (L,)
+
+
+def init_frame_ring(length: int, height: int, width: int,
+                    zfar: float) -> FrameRing:
+    return FrameRing(
+        images=jnp.zeros((length, height, width, 3), jnp.float32),
+        zbuf=jnp.full((length, height, width, 1), -1.0, jnp.float32),
+        mask=jnp.zeros((length, height, width, 1), bool),
+        R=jnp.broadcast_to(jnp.eye(3)[None], (length, 3, 3)),
+        T=jnp.zeros((length, 3), jnp.float32),
+        zfar=jnp.full((length,), zfar, jnp.float32),
+    )
+
+
+def ring_push(ring: FrameRing, images, zbuf, mask, R, T, zfar) -> FrameRing:
+    """Append a capture batch, keeping the newest `L` frames. Pure — safe
+    inside jit."""
+    L = ring.images.shape[0]
+    new = FrameRing(images, zbuf, mask, R, T,
+                    jnp.broadcast_to(jnp.asarray(zfar, jnp.float32),
+                                     (images.shape[0],)))
+    return jax.tree_util.tree_map(
+        lambda a, b: jnp.concatenate([a, b], axis=0)[-L:], ring, new)
+
+
+def ring_frames(ring: FrameRing, n: int) -> Dict:
+    """The newest n frames as a create_batch_for_depth_model frames dict."""
+    return {
+        "images": ring.images[-n:], "zbuf": ring.zbuf[-n:],
+        "mask": ring.mask[-n:], "R": ring.R[-n:], "T": ring.T[-n:],
+        "zfar": ring.zfar[-n:],
+    }
+
+
 def create_batch_for_depth_model(cfg: DepthBatchConfig, frames: Dict,
                                  mode: str = "inference"):
     """Slice a loaded frame sequence into (batch, alpha) dicts

@@ -96,6 +96,40 @@ class Memory:
                  zfar=np.float32(zfar)),
         )
 
+    def save_frame_batch(self, scene_path: str, first_frame_nb: int, rgb, zbuf,
+                         mask, R, T, zfar, traj: Optional[int] = None):
+        """Persist a whole capture batch (K frames) as K per-frame .npz files
+        with ZERO device work: one async d2h copy per batch array, all slicing
+        on the writer thread (the per-frame path issued 3 device-slice launches
+        per frame)."""
+        import jax
+
+        arrays = dict(rgb=rgb, zbuf=zbuf, mask=mask, R=R, T=T)
+        with jax.transfer_guard_device_to_host("allow"):  # intentional, async
+            for v in arrays.values():
+                start = getattr(v, "copy_to_host_async", None)
+                if start is not None:
+                    start()
+
+        d = self.frames_dir(scene_path, traj)
+        K = rgb.shape[0]
+        fpaths = [os.path.join(d, f"{first_frame_nb + i}.npz")
+                  for i in range(K)]
+        for f in fpaths:
+            self._wait_for(f)
+
+        def write():
+            host = {k: np.asarray(v) for k, v in arrays.items()}
+            for i, f in enumerate(fpaths):
+                np.savez(f, rgb=host["rgb"][i : i + 1],
+                         zbuf=host["zbuf"][i : i + 1],
+                         mask=host["mask"][i : i + 1], R=host["R"][i : i + 1],
+                         T=host["T"][i : i + 1], zfar=np.float32(zfar))
+
+        fut = self._writer().submit(write)
+        for f in fpaths:
+            self._inflight[f] = fut
+
     def load_frame(self, scene_path: str, frame_nb: int,
                    traj: Optional[int] = None) -> Dict[str, np.ndarray]:
         f = os.path.join(self.frames_dir(scene_path, traj), f"{frame_nb}.npz")

@@ -138,7 +138,8 @@ _OCC_IMPL_CACHE: dict = {}
 def occupancy_field_impl(occ_model, n_elev: int = 7, n_azim: int = 14,
                          degree: int = 8, k_for_knn: int = 16,
                          max_cells: int = 32, cell_batch: int = 4,
-                         compute_dtype: Optional[str] = None):
+                         compute_dtype: Optional[str] = None,
+                         remat: bool = False):
     """The shared jitted occupancy-field program, cached per
     (model, view-state/harmonics/cell static config).
 
@@ -156,7 +157,7 @@ def occupancy_field_impl(occ_model, n_elev: int = 7, n_azim: int = 14,
     occupancy hot path. None keeps full f32.
     """
     cache_key = (occ_model, n_elev, n_azim, degree, k_for_knn, max_cells,
-                 cell_batch, compute_dtype)
+                 cell_batch, compute_dtype, remat)
     if cache_key in _OCC_IMPL_CACHE:
         return _OCC_IMPL_CACHE[cache_key]
     cdtype = jnp.dtype(compute_dtype) if compute_dtype else None
@@ -237,17 +238,22 @@ def occupancy_field_impl(occ_model, n_elev: int = 7, n_azim: int = 14,
             else:
                 vh_in = vhs
 
-            @jax.checkpoint
             def per_cell(args):
-                # Rematerialized under grad: without checkpoint the lax.map
-                # scan saves EVERY chunk's transformer intermediates for the
-                # backward pass (M/cell_batch x attention scores = tens of GB
-                # at 2048-pt sequences — exceeds v5e HBM); with it, backward
-                # recomputes one chunk at a time. Inference is unaffected.
                 pcn_i, Xn_i, vh_i, m_i = args
                 return occ_model.apply(
                     model_vars, pcn_i[None], Xn_i[None], vh_i[None],
                     pc_mask=m_i[None])[0].astype(jnp.float32)
+
+            if remat:
+                # Rematerialized under grad (supervision program only):
+                # without checkpoint the lax.map scan saves EVERY chunk's
+                # transformer intermediates for the backward pass
+                # (M/cell_batch x attention scores = tens of GB at 2048-pt
+                # sequences — exceeds v5e HBM); with it, backward recomputes
+                # one chunk at a time. The inference program skips remat —
+                # measured 6.8 vs 4.1 ms per decision phase on v5e-1, the
+                # checkpoint barrier blocks XLA fusion even forward-only.
+                per_cell = jax.checkpoint(per_cell)
 
             occs = jax.lax.map(per_cell, (pcn, Xn, vh_in, pc_mask),
                                batch_size=cell_batch)[..., 0]  # (M, K_cell)

@@ -50,11 +50,15 @@ from ..ops.sampling import random_subsample_mask, sample_points_on_mesh_surface
 from ..scene import grid as G
 from ..scene import proxy as P
 from ..scene import runtime as R
-from ..scene.camera import Camera, PoseSpace, get_camera_RT
+from ..scene.camera import Camera, PoseSpace, capture_ring, get_camera_RT
 from ..scene.depth_runtime import (
     DepthBatchConfig,
+    FrameRing,
     create_batch_for_depth_model,
+    init_frame_ring,
     make_apply_depth_fn,
+    ring_frames,
+    ring_push,
 )
 from ..parallel.nbv import pad_candidates
 from ..scene.memory import Memory
@@ -80,6 +84,7 @@ class SceneState:
     proxy_distance: float
     full_pc: List[np.ndarray] = field(default_factory=list)
     coverages: List[float] = field(default_factory=list)
+    ring: Optional[FrameRing] = None  # device-resident recent-frame window
 
     def __post_init__(self):
         # Device-resident mesh staged ONCE: the pose loop touches these every
@@ -247,6 +252,10 @@ class MacaronsRuntime:
             max_cells=self.occ_curriculum_max_cells,
             cell_batch=params.get("occ_cell_batch", 2),
             compute_dtype=params.get("occ_supervision_compute_dtype"),
+            # Gradients flow through this program; remat the per-cell chunks
+            # so backward recomputes instead of saving every chunk's
+            # transformer intermediates (HBM). Inference impls skip remat.
+            remat=True,
         )
         self._tables = None
         if cfg is not None and table is not None:
@@ -284,6 +293,7 @@ class MacaronsRuntime:
         self._depth_step = None
         self._scone_step = None
         self._parallel_scone_step = None
+        self._fused_steps: Dict = {}
 
     def bind_scene(self, cfg: G.GridConfig, table: R.CellIndexTable):
         """Bind the current scene's cell tables. The compiled occupancy and
@@ -426,6 +436,283 @@ class MacaronsRuntime:
             visited_X, supervision_gains, X_world, harmonics, occ, valid,
             jnp.asarray(box_diag), jnp.asarray(cell_resolution),
             jnp.asarray(n_cells_active, jnp.int32), sup_occ, key)
+
+    # -- fused pose-loop programs ---------------------------------------------
+    # The online loop's three phases each run as ONE device program (plus the
+    # capture program): decision (depth inference -> mapping -> occupancy
+    # field -> candidate validity -> fused scoring -> argmax), depth train
+    # step (batch sliced from the device frame ring), and scone supervision
+    # (close-mask scan -> window mapping -> pseudo-GT gains -> optimizer
+    # step). Host glue between launches is numpy-only; the only d2h sync per
+    # pose is the argmax index pull (plus the async frame writes).
+
+    def ring_length(self) -> int:
+        return max(self.n_interpolation_steps
+                   + self.dcfg.n_alpha_for_supervision,
+                   1 + self.dcfg.n_alpha)
+
+    def decision_step(self, variables: MacaronsVariables, ring: FrameRing,
+                      proxy, surface, cfg, R0, T0, cand_poses, cand_new,
+                      cand_vis, verts, box_diag, resolution, key,
+                      warmup_phase: bool = False,
+                      carving_tolerance: float = 0.0,
+                      score_threshold: float = 1.0,
+                      vs_distance: float = 1.0):
+        """One-launch decision phase; returns (surface', proxy', field, slot,
+        key) with `slot` the device argmax over the padded candidate axis.
+        vs_distance is the view-state distance-to-surface gate
+        (3 * proxy_distance in the reference)."""
+        params = self.params
+        n_keep = max(int(self.H * self.W
+                         * params.get("gathering_factor", 0.05)), 16)
+        cache = ("decision", bool(warmup_phase))
+        if cache not in self._fused_steps:
+            dcfg = self.dcfg
+            H, W = self.H, self.W
+            n_elev = params.get("view_state_n_elev", 7)
+            n_azim = params.get("view_state_n_azim", 14)
+            full_field = params.get("full_occupancy_field", True)
+            warmup = bool(warmup_phase)
+
+            @partial(jax.jit, static_argnames=("cfg", "n_keep"))
+            def step(depth_vars, occ_vars, vis_vars, ring, proxy, surface,
+                     tables, cfg, R0, T0, cand_poses, cand_new, cand_vis,
+                     verts, box_diag, resolution, carving_tolerance,
+                     score_threshold, vs_distance, key, n_keep: int):
+                cam0 = FoVCamera.create(R0, T0, zfar=dcfg.zfar)
+                frames = ring_frames(ring, 1 + dcfg.n_alpha)
+                batch, alpha = create_batch_for_depth_model(
+                    dcfg, frames, "inference")
+                key, k = jax.random.split(key)
+                _, depth, mask, err_mask, _, _, _ = self.apply_depth_inference(
+                    depth_vars, batch, alpha, k)
+                fill = jnp.ones((depth.shape[0],), jnp.float32)
+                key, k = jax.random.split(key)
+                surface, proxy, _, _, _ = _mapping_update_scan(
+                    cfg, surface, proxy, depth, mask.astype(bool),
+                    err_mask.astype(bool), batch["R"], batch["T"], fill, k,
+                    jnp.asarray(dcfg.zfar), jnp.asarray(self.sensor_range),
+                    carving_tolerance, score_threshold, vs_distance,
+                    n_keep, H, W, n_elev, n_azim)
+                key, k_occ = jax.random.split(key)
+                proba, pred_mask, harm = self._occ_impl(
+                    occ_vars, proxy, surface, tables, cam0, k_occ,
+                    use_supervision_occ_mask=True, full_field=full_field)
+                if warmup:
+                    # Warmup phase scores with the carving pseudo-GT instead
+                    # of the predictions (reference
+                    # use_supervision_occ_instead_of_predicted,
+                    # macarons_utils.py:1501-1503); the view harmonics from
+                    # the field program are kept.
+                    proba = proxy.supervision_occ
+                    pred_mask = proxy.out_of_field[:, 0] < 1.0
+                proxy = proxy._replace(
+                    proba=jnp.where(pred_mask[:, None], proba, proxy.proba))
+                fld = R.assemble_scene_field(proxy, proba, pred_mask, harm)
+                cand_R, cand_T = get_camera_RT(cand_poses[:, :3],
+                                               cand_poses[:, 3:])
+                cand_cams = FoVCamera.create(cand_R, cand_T, zfar=dcfg.zfar)
+                B = cand_poses.shape[0]
+                v = jnp.broadcast_to(verts[None], (B, *verts.shape))
+                fov_ok = points_in_fov_mask(
+                    v, cand_cams, H, W, fov_range=5 * dcfg.zfar).any(axis=-1)
+                key, k_cov = jax.random.split(key)
+                gains = self.coverage_gains(
+                    vis_vars, *fld, cand_cams, cand_poses[:, :3], cam0,
+                    box_diag, resolution, self.sensor_range, k_cov)
+                new_ok = cand_new & fov_ok
+                # Two-tier candidate choice (reference get_valid_neighbors
+                # :2086-2115 + argmax :299-315): prefer valid unvisited
+                # neighbors; fall back to visited ones.
+                sel = jnp.where(jnp.any(new_ok), new_ok, cand_vis)
+                slot = jnp.argmax(jnp.where(sel, gains, -jnp.inf))
+                return surface, proxy, fld, slot, key
+
+            self._fused_steps[cache] = step
+        return self._fused_steps[cache](
+            variables.depth, variables.occ, variables.vis, ring, proxy,
+            surface, self._tables, cfg, R0, T0, jnp.asarray(cand_poses),
+            jnp.asarray(cand_new), jnp.asarray(cand_vis), verts,
+            jnp.asarray(box_diag, jnp.float32),
+            jnp.asarray(resolution, jnp.float32),
+            jnp.asarray(carving_tolerance, jnp.float32),
+            jnp.asarray(score_threshold, jnp.float32),
+            jnp.asarray(vs_distance, jnp.float32), key, n_keep=n_keep)
+
+    def _supervision_batch_from_ring(self, ring: FrameRing):
+        n = self.n_interpolation_steps + self.dcfg.n_alpha_for_supervision
+        frames = ring_frames(ring, n)
+        return create_batch_for_depth_model(self.dcfg, frames, "supervision")
+
+    def depth_train_step_ring(self, depth_vars, opt_state, ring: FrameRing,
+                              key, online: bool = True):
+        """Depth optimizer step (or loss-only pass) on the supervision window
+        sliced from the device frame ring — one launch, no host batch glue."""
+        if online and self.schedule_lr:
+            self.depth_opt_steps += 1
+            self._set_lr(opt_state, self._warmup_rate(
+                self.depth_max_lr, self.depth_opt_steps, self.depth_warmup))
+        cache = ("depth_ring", bool(online))
+        if cache not in self._fused_steps:
+            if online:
+
+                @jax.jit
+                def step(depth_vars, opt_state, ring, key):
+                    batch, alpha = self._supervision_batch_from_ring(ring)
+
+                    def loss_fn(p):
+                        variables = {"params": p,
+                                     "batch_stats": depth_vars["batch_stats"]}
+                        loss, depth, mask, err, pose, gt, new_stats = (
+                            self.apply_depth_loss(variables, batch, alpha,
+                                                  key))
+                        return loss, (depth, mask, err, new_stats)
+
+                    (loss, (depth, mask, err, new_stats)), grads = (
+                        jax.value_and_grad(loss_fn, has_aux=True)(
+                            depth_vars["params"]))
+                    updates, opt_state = self.depth_tx.update(
+                        grads, opt_state, depth_vars["params"])
+                    new_params = optax.apply_updates(depth_vars["params"],
+                                                     updates)
+                    return ({"params": new_params, "batch_stats": new_stats},
+                            opt_state, loss, depth, mask, err, batch["R"],
+                            batch["T"])
+            else:
+
+                @jax.jit
+                def step(depth_vars, opt_state, ring, key):
+                    batch, alpha = self._supervision_batch_from_ring(ring)
+                    loss, depth, mask, err, _, _, _ = self.apply_depth_loss(
+                        depth_vars, batch, alpha, key)
+                    return (depth_vars, opt_state, loss, depth, mask, err,
+                            batch["R"], batch["T"])
+
+            self._fused_steps[cache] = step
+        return self._fused_steps[cache](depth_vars, opt_state, ring, key)
+
+    def scone_supervise_step(self, occ_vars, vis_vars, opt_state, proxy,
+                             surface, cfg, R0, T0, depth, mask, err_mask,
+                             batch_R, batch_T, field, key,
+                             box_diag: float, cell_resolution: float,
+                             surface_distance: float,
+                             vs_distance: Optional[float] = None,
+                             n_cells_active: Optional[int] = None,
+                             carving_tolerance: float = 0.0,
+                             score_threshold: float = 1.0,
+                             train: bool = True):
+        """Fused supervision phase: close-to-surface mask, window mapping +
+        carving, pseudo-GT coverage gains, and (optionally) the SCONE
+        optimizer step — ONE launch (reference loop part B,
+        train_macarons.py:376-543).
+
+        `surface_distance` gates the close-to-surface supervision mask (the
+        curriculum knob); `vs_distance` gates the view-state surface test
+        (fixed 3 * proxy_distance in the reference; defaults to
+        surface_distance). Returns (occ_vars', vis_vars', opt_state', loss,
+        occ_loss, cov_loss, surface', proxy', key)."""
+        params = self.params
+        if vs_distance is None:
+            vs_distance = surface_distance
+        if train and self.schedule_lr:
+            self.scone_opt_steps += 1
+            self._set_lr(opt_state, self._warmup_rate(
+                self.scone_max_lr, self.scone_opt_steps, self.scone_warmup))
+        if n_cells_active is None:
+            n_cells_active = self.occ_curriculum_max_cells
+        n_keep = max(int(self.H * self.W
+                         * params.get("gathering_factor", 0.05)), 16)
+        n_supervision = params.get("n_proxy_point_for_occupancy_supervision",
+                                   6000)
+        cache = ("scone_sup", bool(train))
+        if cache not in self._fused_steps:
+            dcfg = self.dcfg
+            H, W = self.H, self.W
+            n_elev = params.get("view_state_n_elev", 7)
+            n_azim = params.get("view_state_n_azim", 14)
+            eps = params.get("surface_epsilon")
+            do_train = bool(train)
+
+            @partial(jax.jit, static_argnames=("cfg", "n_keep"))
+            def step(occ_vars, vis_vars, opt_state, proxy, surface, tables,
+                     R0, T0, depth, mask, err_mask, batch_R, batch_T,
+                     X_world, harmonics, occ, valid, cfg, box_diag,
+                     cell_resolution, surface_distance, vs_distance,
+                     n_cells_active, carving_tolerance, score_threshold, key,
+                     n_keep: int):
+                cam0 = FoVCamera.create(R0, T0, zfar=dcfg.zfar)
+                pre_proxy, pre_surface = proxy, surface
+                pre_oof = proxy.out_of_field[:, 0] < 1.0
+                close = _close_mask_scan(
+                    proxy.points, depth, mask.astype(bool), batch_R, batch_T,
+                    jnp.asarray(dcfg.zfar), jnp.asarray(self.sensor_range),
+                    surface_distance, H, W)
+                n_frames = depth.shape[0]
+                fill = jnp.zeros((n_frames,)).at[0].set(1.0)
+                key, k = jax.random.split(key)
+                surface, proxy, _, pcs, valids = _mapping_update_scan(
+                    cfg, surface, proxy, depth, mask.astype(bool),
+                    err_mask.astype(bool), batch_R, batch_T, fill, k,
+                    jnp.asarray(dcfg.zfar), jnp.asarray(self.sensor_range),
+                    carving_tolerance, score_threshold, vs_distance, n_keep,
+                    H, W, n_elev, n_azim)
+                sup_gains, surface = G.window_coverage_gains(
+                    cfg, surface, pcs, valids, surface_epsilon=eps)
+                close = close & pre_oof
+                if not do_train:
+                    zero = jnp.zeros(())
+                    return (occ_vars, vis_vars, opt_state, zero, zero, zero,
+                            surface, proxy, key)
+
+                key, k_occ, k_cov = jax.random.split(key, 3)
+
+                def loss_fn(ps):
+                    ov = {"params": ps["occ"]}
+                    vv = {"params": ps["vis"]}
+                    proba, pred_mask, _ = self._occ_impl_sup(
+                        ov, pre_proxy, pre_surface, tables, cam0, k_occ,
+                        supervision=True, eligible_override=close,
+                        n_cells_active=n_cells_active)
+                    sup = proxy.supervision_occ  # post-carve target
+                    err = jnp.where(pred_mask[:, None], (proba - sup) ** 2,
+                                    0.0)
+                    n_pred = jnp.sum(pred_mask)
+                    occ_loss = jnp.sum(err) / jnp.maximum(n_pred, 1) \
+                        * n_pred / n_supervision
+
+                    cams = FoVCamera.create(batch_R, batch_T, zfar=dcfg.zfar)
+                    visited_X = cams.camera_center()
+                    gains = self.coverage_gains(
+                        vv, X_world, harmonics, occ, valid, cams, visited_X,
+                        cam0, box_diag, cell_resolution, self.sensor_range,
+                        k_cov)
+                    cov_loss = L.uncentered_l1(
+                        gains.reshape(1, -1, 1),
+                        sup_gains.reshape(1, -1, 1))
+                    return occ_loss + cov_loss, (occ_loss, cov_loss)
+
+                ps = {"occ": occ_vars["params"], "vis": vis_vars["params"]}
+                (loss, (occ_loss, cov_loss)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(ps)
+                updates, opt_state = self.scone_tx.update(grads, opt_state,
+                                                          ps)
+                new = optax.apply_updates(ps, updates)
+                return ({"params": new["occ"]}, {"params": new["vis"]},
+                        opt_state, loss, occ_loss, cov_loss, surface, proxy,
+                        key)
+
+            self._fused_steps[cache] = step
+        X_world, harmonics, occ, valid = field
+        return self._fused_steps[cache](
+            occ_vars, vis_vars, opt_state, proxy, surface, self._tables, R0,
+            T0, depth, mask, err_mask, batch_R, batch_T, X_world, harmonics,
+            occ, valid, cfg, jnp.asarray(box_diag, jnp.float32),
+            jnp.asarray(cell_resolution, jnp.float32),
+            jnp.asarray(surface_distance, jnp.float32),
+            jnp.asarray(vs_distance, jnp.float32),
+            jnp.asarray(n_cells_active, jnp.int32),
+            jnp.asarray(carving_tolerance, jnp.float32),
+            jnp.asarray(score_threshold, jnp.float32), key, n_keep=n_keep)
 
     # -- scene-data-parallel scone step (one scene per device) ---------------
     def parallel_scone_train_step(self, occ_vars, vis_vars, opt_state, sb, key):
@@ -720,51 +1007,122 @@ def build_supervision_signal(rt: MacaronsRuntime, scene: SceneState, depth,
     return close_mask, sup_gains, key
 
 
+def prime_ring(rt: MacaronsRuntime, scene: SceneState, memory: Memory,
+               memory_path: str):
+    """Fresh device frame ring primed with the 1 + n_alpha captures of the
+    start pose in ONE launch (the reference primes its frame memory by
+    re-capturing the current frame, train_macarons.py:106-117)."""
+    cam = scene.camera
+    K = 1 + rt.dcfg.n_alpha
+    scene.ring = init_frame_ring(rt.ring_length(), rt.H, rt.W,
+                                 float(rt.dcfg.zfar))
+    # Host-numpy pose copies (X_cam itself is a device array; pulling it would
+    # be an unsanctioned d2h sync)
+    X = np.repeat(np.asarray(cam.X_cam_history[-1]).reshape(1, 3), K, axis=0)
+    V = np.repeat(np.asarray(cam.V_cam_history[-1]).reshape(1, 2), K, axis=0)
+    base = cam.n_frames_captured
+    images, depth, mask, R_dev, T_dev, scene.ring = capture_ring(
+        cam, scene.verts_dev, scene.faces_dev, X, V, scene.ring,
+        vert_colors=scene.colors_dev, texture_atlas=scene.atlas_dev)
+    memory.save_frame_batch(memory_path, base, images, depth, mask, R_dev,
+                            T_dev, cam.zfar)
+    cam.n_frames_captured += K
+
+
+def ensure_ring(rt: MacaronsRuntime, scene: SceneState, memory: Memory,
+                memory_path: str):
+    """Backfill the device frame ring from the on-disk frame memory (resume,
+    or callers that primed via capture_and_save)."""
+    if scene.ring is not None:
+        return
+    cam = scene.camera
+    L = rt.ring_length()
+    n = min(L, cam.n_frames_captured)
+    frames = memory.load_frame_sequence(memory_path,
+                                        cam.n_frames_captured - 1, n)
+    ring = init_frame_ring(L, rt.H, rt.W, float(rt.dcfg.zfar))
+    scene.ring = ring_push(
+        ring, jnp.asarray(frames["images"]), jnp.asarray(frames["zbuf"]),
+        jnp.asarray(frames["mask"]).astype(bool), jnp.asarray(frames["R"]),
+        jnp.asarray(frames["T"]), jnp.asarray(frames["zfar"]))
+
+
 def nbv_loop_step(rt: MacaronsRuntime, scene: SceneState, memory: Memory,
                   memory_path: str, variables: MacaronsVariables,
                   opt_states: Dict, key, freeze_scone: bool = False,
                   warmup_phase: bool = False, online_learning: bool = True,
                   surface_distance: Optional[float] = None,
                   n_cells_active: Optional[int] = None):
-    """One full NBV iteration. Returns (variables, opt_states, losses, key)."""
+    """One full NBV iteration as FOUR device launches: fused decision
+    (depth inference -> mapping -> occupancy field -> candidate scoring ->
+    argmax), fused interpolated-move capture + ring push, depth optimizer
+    step on the ring's supervision window, and the fused SCONE supervision
+    step. Host glue is numpy-only; the single sanctioned d2h sync per pose is
+    the decision argmax pull (reference runs the same loop as hundreds of
+    kernel launches + disk round-trips per pose, train_macarons.py:161-543).
+
+    Returns (variables, opt_states, losses, key) — losses stay on device for
+    deferred metric pulls."""
     params = rt.params
-    field, batch, alpha, box_diag, key = decision_and_move(
-        rt, scene, memory, memory_path, variables, key,
-        warmup_phase=warmup_phase)
+    cam = scene.camera
+    ensure_ring(rt, scene, memory, memory_path)
+    if surface_distance is None:
+        surface_distance = 3.0 * scene.proxy_distance
+    cam.fov_camera_0 = cam.fov_camera
+    box_diag = float(np.linalg.norm(
+        np.asarray(scene.cfg.x_max) - np.asarray(scene.cfg.x_min)))
+    carving_tolerance = params.get("carving_tolerance", 0.0)
+    score_threshold = params.get("score_threshold", 1.0)
 
+    # ---- A. fused decision phase (one launch + one scalar pull) ----------
+    idx, cand_poses, cand_new, cand_vis = cam.neighbor_candidates()
+    (scene.surface_scene, scene.proxy, field, slot,
+     key) = rt.decision_step(
+        variables, scene.ring, scene.proxy, scene.surface_scene, scene.cfg,
+        cam.fov_camera.R, cam.fov_camera.T, cand_poses, cand_new, cand_vis,
+        scene.verts_dev, box_diag, scene.cfg.resolution, key,
+        warmup_phase=warmup_phase, carving_tolerance=carving_tolerance,
+        score_threshold=score_threshold,
+        vs_distance=3.0 * scene.proxy_distance)
+    next_idx = idx[min(int(_pull(slot)), idx.shape[0] - 1)]
+
+    # ---- move & capture (one launch, async frame writes) ------------------
+    X_interp, V_interp = cam.interpolated_poses(next_idx)
+    base = cam.n_frames_captured
+    images, depth_c, mask_c, R_dev, T_dev, scene.ring = capture_ring(
+        cam, scene.verts_dev, scene.faces_dev, X_interp, V_interp, scene.ring,
+        vert_colors=scene.colors_dev, texture_atlas=scene.atlas_dev)
+    memory.save_frame_batch(memory_path, base, images, depth_c, mask_c,
+                            R_dev, T_dev, cam.zfar)
+    cam.commit_move(next_idx, X_interp, V_interp, R_dev, T_dev)
+
+    # ---- B1. depth step on the ring's supervision window (one launch) -----
     key, k = jax.random.split(key)
+    (variables_depth, opt_states["depth"], depth_loss, depth, mask, err_mask,
+     batch_R, batch_T) = rt.depth_train_step_ring(
+        variables.depth, opt_states["depth"], scene.ring, k,
+        online=online_learning)
     if online_learning:
-        (variables_depth, opt_states["depth"], depth_loss, depth, mask,
-         err_mask) = rt.depth_train_step(
-            variables.depth, opt_states["depth"], batch, alpha, k)
         variables = variables._replace(depth=variables_depth)
-    else:
-        depth_loss, depth, mask, err_mask, _, _, _ = rt.apply_depth_loss(
-            variables.depth, batch, alpha, k)
 
-    # Supervision predictions run on the PRE-window state (reference part B
-    # predicts before updating the world, train_macarons.py:419-447); the occ
-    # target is the POST-carve supervision field.
-    pre_proxy, pre_surface = scene.proxy, scene.surface_scene
-    close_mask, sup_gains, key = build_supervision_signal(
-        rt, scene, depth, mask, err_mask, batch, key, surface_distance)
-
-    occ_loss = cov_loss = 0.0
-    if online_learning and not freeze_scone:
-        visited_cams = FoVCamera.create(batch["R"], batch["T"],
-                                        zfar=rt.dcfg.zfar)
-        visited_X = visited_cams.camera_center()
-        key, k = jax.random.split(key)
-        (occ_vars, vis_vars, opt_states["scone"], scone_loss, occ_loss,
-         cov_loss) = rt.scone_train_step(
-            variables.occ, variables.vis, opt_states["scone"], pre_proxy,
-            pre_surface, scene.camera.fov_camera_0, close_mask,
-            visited_cams, visited_X, sup_gains, field, k,
-            n_supervision=params.get("n_proxy_point_for_occupancy_supervision",
-                                     6000),
-            box_diag=box_diag, cell_resolution=scene.cfg.resolution,
-            n_cells_active=n_cells_active,
-            sup_occ=scene.proxy.supervision_occ)
+    # ---- B2. fused SCONE supervision (one launch) --------------------------
+    # Predictions run on the PRE-window state (reference part B predicts
+    # before updating the world, train_macarons.py:419-447); the occ target
+    # is the POST-carve supervision field. With scone frozen the world
+    # updates still run (train=False skips only the losses/optimizer).
+    train = online_learning and not freeze_scone
+    (occ_vars, vis_vars, opt_states["scone"], _, occ_loss, cov_loss,
+     scene.surface_scene, scene.proxy, key) = rt.scone_supervise_step(
+        variables.occ, variables.vis, opt_states["scone"], scene.proxy,
+        scene.surface_scene, scene.cfg, cam.fov_camera_0.R,
+        cam.fov_camera_0.T, depth, mask, err_mask, batch_R, batch_T, field,
+        key, box_diag=box_diag, cell_resolution=scene.cfg.resolution,
+        surface_distance=surface_distance,
+        vs_distance=3.0 * scene.proxy_distance,
+        n_cells_active=n_cells_active,
+        carving_tolerance=carving_tolerance,
+        score_threshold=score_threshold, train=train)
+    if train:
         variables = variables._replace(occ=occ_vars, vis=vis_vars)
 
     # Losses stay on device; metric pulls are deferred to the trajectory end
@@ -1129,9 +1487,9 @@ def run_trajectory(rt: MacaronsRuntime, scene: SceneState, memory: Memory,
     start = cam.get_random_valid_pose(rs, scene.verts_dev,
                                       proxy_points=scene.proxy.points)
     cam.initialize(start)
-    # Prime the frame memory with enough frames for the first depth inference
-    for _ in range(1 + rt.dcfg.n_alpha):
-        capture_and_save(scene, memory, memory_path)
+    # Prime the device frame ring (and the on-disk frame memory) with enough
+    # frames for the first depth inference — one launch + async writes
+    prime_ring(rt, scene, memory, memory_path)
 
     # Occupancy-supervision curriculum over the trajectory (reference
     # train_macarons.py:1105-1139)

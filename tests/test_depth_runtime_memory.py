@@ -155,6 +155,46 @@ def test_memory_roundtrip(tmp_path, frame_seq):
     np.testing.assert_array_equal(loaded_prox.points, np.asarray(prox.points))
 
 
+def test_frame_ring_matches_memory(tmp_path, frame_seq):
+    """The device frame ring holds exactly the newest frames in the same
+    order and schema as the on-disk frame memory, and save_frame_batch writes
+    per-frame files identical to the per-frame save path — so the fused pose
+    loop (ring) and the replay loops (disk) see the same data."""
+    L = 4
+    ring = DR.init_frame_ring(L, H, W, 20.0)
+    # Push frames 0-1 then 2-4 as two batches (exercises the keep-newest-L
+    # concat: frame 0 must fall out).
+    for lo, hi in ((0, 2), (2, 5)):
+        ring = DR.ring_push(
+            ring, jnp.asarray(frame_seq["images"][lo:hi]),
+            jnp.asarray(frame_seq["zbuf"][lo:hi]),
+            jnp.asarray(frame_seq["mask"][lo:hi]).astype(bool),
+            jnp.asarray(frame_seq["R"][lo:hi]),
+            jnp.asarray(frame_seq["T"][lo:hi]), 20.0)
+
+    mem = M.Memory([str(tmp_path / "scene")])
+    sp = str(tmp_path / "scene")
+    mem.save_frame_batch(sp, 0, frame_seq["images"][:2], frame_seq["zbuf"][:2],
+                         frame_seq["mask"][:2], frame_seq["R"][:2],
+                         frame_seq["T"][:2], 20.0)
+    mem.save_frame_batch(sp, 2, frame_seq["images"][2:], frame_seq["zbuf"][2:],
+                         frame_seq["mask"][2:], frame_seq["R"][2:],
+                         frame_seq["T"][2:], 20.0)
+    disk = mem.load_frame_sequence(sp, 4, 3)
+
+    got = DR.ring_frames(ring, 3)
+    for k in ("images", "zbuf", "mask", "R", "T", "zfar"):
+        np.testing.assert_array_equal(np.asarray(got[k]), disk[k], err_msg=k)
+    # Batches built from either source are interchangeable
+    b_ring, a_ring = DR.create_batch_for_depth_model(CFG, DR.ring_frames(ring, 4))
+    b_disk, a_disk = DR.create_batch_for_depth_model(
+        CFG, mem.load_frame_sequence(sp, 4, 4))
+    np.testing.assert_allclose(np.asarray(b_ring["images"]),
+                               np.asarray(b_disk["images"]))
+    np.testing.assert_allclose(np.asarray(a_ring["images"]),
+                               np.asarray(a_disk["images"]))
+
+
 def test_macarons_bundle(tmp_path):
     from macarons_tpu.config import Params
     from macarons_tpu.models import macarons as MM
