@@ -302,7 +302,7 @@ def bench_pose_loop():
     # Warmup pose compiles every program
     variables, opt_states, _, key = TM.nbv_loop_step(
         rt, scene, memory, mp, variables, opt_states, key)
-    n_iter = 3
+    n_iter = 10
     t0 = time.perf_counter()
     for _ in range(n_iter):
         variables, opt_states, losses, key = TM.nbv_loop_step(
@@ -317,6 +317,18 @@ def bench_pose_loop():
 
 def main():
     log("backend:", jax.default_backend())
+    if "--only-pose" in sys.argv:
+        # Iteration helper: just the end-to-end pose-loop rate (the full run
+        # re-measures everything; the pose loop MUST have the chip to itself —
+        # a concurrent client on the single-tenant chip poisons the numbers).
+        poses_per_sec = bench_pose_loop()
+        print(json.dumps({
+            "metric": "online_nbv_poses_per_sec",
+            "value": round(poses_per_sec, 3),
+            "unit": "poses/s",
+            "vs_baseline": round(1.0, 2),
+        }))
+        return
     # Headline FIRST: nothing before it may trigger a device->host transfer
     fused_dt, seq_dt, full_dt = bench_decision_phase()
     log(f"decision phase fused: {fused_dt * 1e3:.2f} ms "

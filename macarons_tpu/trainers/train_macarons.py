@@ -544,6 +544,56 @@ class MacaronsRuntime:
         frames = ring_frames(ring, n)
         return create_batch_for_depth_model(self.dcfg, frames, "supervision")
 
+    def _ring_scene_batches(self, rings: FrameRing):
+        """(batch, alpha) over a STACKED ring group (leading scene axis S):
+        each scene's supervision window is sliced independently (alpha frames
+        never cross scene boundaries), then concatenated on the frame axis in
+        scene order."""
+        S = rings.images.shape[0]
+        per = [self._supervision_batch_from_ring(
+            jax.tree_util.tree_map(lambda a: a[i], rings)) for i in range(S)]
+        cat = lambda *xs: jnp.concatenate(xs, axis=0)  # noqa: E731
+        return (jax.tree_util.tree_map(cat, *[b for b, _ in per]),
+                jax.tree_util.tree_map(cat, *[a for _, a in per]))
+
+    def _make_depth_step(self, batch_fn, online: bool):
+        """Jitted depth step over any ring-like source; batch_fn(src) ->
+        (batch, alpha) runs inside the trace."""
+        if online:
+
+            @jax.jit
+            def step(depth_vars, opt_state, src, key):
+                batch, alpha = batch_fn(src)
+
+                def loss_fn(p):
+                    variables = {"params": p,
+                                 "batch_stats": depth_vars["batch_stats"]}
+                    loss, depth, mask, err, pose, gt, new_stats = (
+                        self.apply_depth_loss(variables, batch, alpha, key))
+                    return loss, (depth, mask, err, new_stats)
+
+                (loss, (depth, mask, err, new_stats)), grads = (
+                    jax.value_and_grad(loss_fn, has_aux=True)(
+                        depth_vars["params"]))
+                updates, opt_state = self.depth_tx.update(
+                    grads, opt_state, depth_vars["params"])
+                new_params = optax.apply_updates(depth_vars["params"],
+                                                 updates)
+                return ({"params": new_params, "batch_stats": new_stats},
+                        opt_state, loss, depth, mask, err, batch["R"],
+                        batch["T"])
+        else:
+
+            @jax.jit
+            def step(depth_vars, opt_state, src, key):
+                batch, alpha = batch_fn(src)
+                loss, depth, mask, err, _, _, _ = self.apply_depth_loss(
+                    depth_vars, batch, alpha, key)
+                return (depth_vars, opt_state, loss, depth, mask, err,
+                        batch["R"], batch["T"])
+
+        return step
+
     def depth_train_step_ring(self, depth_vars, opt_state, ring: FrameRing,
                               key, online: bool = True):
         """Depth optimizer step (or loss-only pass) on the supervision window
@@ -554,42 +604,25 @@ class MacaronsRuntime:
                 self.depth_max_lr, self.depth_opt_steps, self.depth_warmup))
         cache = ("depth_ring", bool(online))
         if cache not in self._fused_steps:
-            if online:
-
-                @jax.jit
-                def step(depth_vars, opt_state, ring, key):
-                    batch, alpha = self._supervision_batch_from_ring(ring)
-
-                    def loss_fn(p):
-                        variables = {"params": p,
-                                     "batch_stats": depth_vars["batch_stats"]}
-                        loss, depth, mask, err, pose, gt, new_stats = (
-                            self.apply_depth_loss(variables, batch, alpha,
-                                                  key))
-                        return loss, (depth, mask, err, new_stats)
-
-                    (loss, (depth, mask, err, new_stats)), grads = (
-                        jax.value_and_grad(loss_fn, has_aux=True)(
-                            depth_vars["params"]))
-                    updates, opt_state = self.depth_tx.update(
-                        grads, opt_state, depth_vars["params"])
-                    new_params = optax.apply_updates(depth_vars["params"],
-                                                     updates)
-                    return ({"params": new_params, "batch_stats": new_stats},
-                            opt_state, loss, depth, mask, err, batch["R"],
-                            batch["T"])
-            else:
-
-                @jax.jit
-                def step(depth_vars, opt_state, ring, key):
-                    batch, alpha = self._supervision_batch_from_ring(ring)
-                    loss, depth, mask, err, _, _, _ = self.apply_depth_loss(
-                        depth_vars, batch, alpha, key)
-                    return (depth_vars, opt_state, loss, depth, mask, err,
-                            batch["R"], batch["T"])
-
-            self._fused_steps[cache] = step
+            self._fused_steps[cache] = self._make_depth_step(
+                self._supervision_batch_from_ring, online)
         return self._fused_steps[cache](depth_vars, opt_state, ring, key)
+
+    def depth_train_step_rings(self, depth_vars, opt_state, rings: FrameRing,
+                               key, online: bool = True):
+        """One depth step over a whole scene group's supervision windows
+        (rings stacked on a leading — possibly mesh-sharded — scene axis;
+        the reference trains 1 scene/GPU with DDP-allreduced grads,
+        train_macarons.py:1374-1715)."""
+        if online and self.schedule_lr:
+            self.depth_opt_steps += 1
+            self._set_lr(opt_state, self._warmup_rate(
+                self.depth_max_lr, self.depth_opt_steps, self.depth_warmup))
+        cache = ("depth_rings", bool(online))
+        if cache not in self._fused_steps:
+            self._fused_steps[cache] = self._make_depth_step(
+                self._ring_scene_batches, online)
+        return self._fused_steps[cache](depth_vars, opt_state, rings, key)
 
     def scone_supervise_step(self, occ_vars, vis_vars, opt_state, proxy,
                              surface, cfg, R0, T0, depth, mask, err_mask,
@@ -1150,43 +1183,60 @@ def nbv_parallel_step(rt: MacaronsRuntime, scenes: List[SceneState],
 
     params = rt.params
     S = len(scenes)
+    carving_tolerance = params.get("carving_tolerance", 0.0)
+    score_threshold = params.get("score_threshold", 1.0)
 
-    # ---------- A. decision + move, per scene ----------
-    fields, batches, alphas, box_diags = [], [], [], []
+    # ---------- A. fused decision + move, per scene ----------
+    fields, box_diags = [], []
     for scene, memory, mp in zip(scenes, memories, memory_paths):
         rt.bind_scene(scene.cfg, scene.cell_table)
-        field, batch, alpha, box_diag, key = decision_and_move(
-            rt, scene, memory, mp, variables, key, warmup_phase=warmup_phase)
+        cam = scene.camera
+        ensure_ring(rt, scene, memory, mp)
+        cam.fov_camera_0 = cam.fov_camera
+        box_diag = float(np.linalg.norm(
+            np.asarray(scene.cfg.x_max) - np.asarray(scene.cfg.x_min)))
+        idx, cand_poses, cand_new, cand_vis = cam.neighbor_candidates()
+        (scene.surface_scene, scene.proxy, field, slot,
+         key) = rt.decision_step(
+            variables, scene.ring, scene.proxy, scene.surface_scene,
+            scene.cfg, cam.fov_camera.R, cam.fov_camera.T, cand_poses,
+            cand_new, cand_vis, scene.verts_dev, box_diag,
+            scene.cfg.resolution, key, warmup_phase=warmup_phase,
+            carving_tolerance=carving_tolerance,
+            score_threshold=score_threshold,
+            vs_distance=3.0 * scene.proxy_distance)
+        next_idx = idx[min(int(_pull(slot)), idx.shape[0] - 1)]
+        X_interp, V_interp = cam.interpolated_poses(next_idx)
+        base = cam.n_frames_captured
+        images, depth_c, mask_c, R_dev, T_dev, scene.ring = capture_ring(
+            cam, scene.verts_dev, scene.faces_dev, X_interp, V_interp,
+            scene.ring, vert_colors=scene.colors_dev,
+            texture_atlas=scene.atlas_dev)
+        memory.save_frame_batch(mp, base, images, depth_c, mask_c, R_dev,
+                                T_dev, cam.zfar)
+        cam.commit_move(next_idx, X_interp, V_interp, R_dev, T_dev)
         fields.append(field)
-        batches.append(batch)
-        alphas.append(alpha)
         box_diags.append(box_diag)
 
-    # ---------- B. ONE depth train step over all scenes' frames ----------
-    F = batches[0]["images"].shape[0]
-    big_batch = {k_: jnp.concatenate([b[k_] for b in batches], axis=0)
-                 for k_ in batches[0]}
-    big_alpha = {k_: jnp.concatenate([a[k_] for a in alphas], axis=0)
-                 for k_ in alphas[0]}
+    # ---------- B. ONE depth step over all scenes' ring windows ----------
+    rings = SDP.stack_scene_group([s.ring for s in scenes])
     if mesh is not None:
-        # scene i's F contiguous frames land on device i
-        big_batch = SDP.shard_scene_axis(big_batch, mesh)
-        big_alpha = SDP.shard_scene_axis(big_alpha, mesh)
+        # scene i's ring (and its window's frames) land on device i
+        rings = SDP.shard_scene_axis(rings, mesh)
     key, k = jax.random.split(key)
+    (variables_depth, opt_states["depth"], depth_loss, depth, mask, err_mask,
+     batch_R, batch_T) = rt.depth_train_step_rings(
+        variables.depth, opt_states["depth"], rings, k,
+        online=online_learning)
     if online_learning:
-        (variables_depth, opt_states["depth"], depth_loss, depth, mask,
-         err_mask) = rt.depth_train_step(
-            variables.depth, opt_states["depth"], big_batch, big_alpha, k)
         variables = variables._replace(depth=variables_depth)
-    else:
-        depth_loss, depth, mask, err_mask, _, _, _ = rt.apply_depth_loss(
-            variables.depth, big_batch, big_alpha, k)
+    F = depth.shape[0] // S
 
     # ---------- C. supervision signals, per scene ----------
     scene_inputs = []
     for i, scene in enumerate(scenes):
         sl = slice(i * F, (i + 1) * F)
-        sub_batch = {k_: big_batch[k_][sl] for k_ in ("R", "T")}
+        sub_batch = {"R": batch_R[sl], "T": batch_T[sl]}
         sd = surface_distances[i] if surface_distances else None
         pre_proxy, pre_surface = scene.proxy, scene.surface_scene
         close_mask, sup_gains, key = build_supervision_signal(
@@ -1215,11 +1265,11 @@ def nbv_parallel_step(rt: MacaronsRuntime, scenes: List[SceneState],
                 "tables": SDP.pad_cell_tables(tables, Cp, KCp),
                 "pred_R": cam0.R, "pred_T": cam0.T,
                 "close_mask": close_mask,
-                "visited_R": big_batch["R"][i * F:(i + 1) * F],
-                "visited_T": big_batch["T"][i * F:(i + 1) * F],
+                "visited_R": batch_R[i * F:(i + 1) * F],
+                "visited_T": batch_T[i * F:(i + 1) * F],
                 "visited_X": FoVCamera.create(
-                    big_batch["R"][i * F:(i + 1) * F],
-                    big_batch["T"][i * F:(i + 1) * F],
+                    batch_R[i * F:(i + 1) * F],
+                    batch_T[i * F:(i + 1) * F],
                     zfar=rt.dcfg.zfar).camera_center(),
                 "sup_gains": sup_gains,
                 "X_world": X_world, "harmonics": harmonics, "occ": occ,
@@ -1577,8 +1627,7 @@ def run_trajectories_parallel(rt: MacaronsRuntime, scenes: List[SceneState],
                                           proxy_points=scene.proxy.points)
         cam.initialize(start)
     for scene, memory, mp in zip(scenes, memories, memory_paths):
-        for _ in range(1 + rt.dcfg.n_alpha):
-            capture_and_save(scene, memory, mp)
+        prime_ring(rt, scene, memory, mp)
 
     curr_dists = [R.curriculum_sampling_distances(
         max(n_poses, 2), s.proxy_distance, s.cfg.cell_size) for s in scenes]
