@@ -293,25 +293,37 @@ def bench_pose_loop():
                                    "vis": variables.vis["params"]}),
     }
     mp = f"{tmp}/mem"
-    memory = Memory([mp])
-    cam = scene.camera
-    cam.initialize(cam.get_random_valid_pose(
-        rs, scene.verts_dev, proxy_points=scene.proxy.points))
-    TM.prime_ring(rt, scene, memory, mp)
+    # ZERO-SYNC pose loop: episode control, frame persistence, and metrics
+    # all stay on device — the tunneled runtime permanently degrades to
+    # synchronous dispatch after ANY d2h (731 vs 2.2 ms per depth step), so
+    # the bench never pulls; it only blocks on the last pose's loss.
+    from macarons_tpu.scene.memory import DeviceMemory
 
-    # Warmup pose compiles every program
-    variables, opt_states, _, key = TM.nbv_loop_step(
-        rt, scene, memory, mp, variables, opt_states, key)
     n_iter = 10
+    n_warm = 2
+    dmem = DeviceMemory(
+        [mp], max_frames=1 + rt.dcfg.n_alpha
+        + (n_iter + n_warm) * rt.n_interpolation_steps,
+        height=rt.H, width=rt.W, zfar=params.get("zfar"))
+    store = dmem.begin_trajectory(mp)
+    scene.episode, scene.ring, store, key = rt.start_trajectory_device(
+        scene, store, key, max_moves=n_iter + n_warm + 1,
+        max_frames=dmem.max_frames)
+    dmem.update_store(mp, store, 1 + rt.dcfg.n_alpha)
+
+    # Warmup poses compile every program
+    for _ in range(n_warm):
+        variables, opt_states, losses, key = TM.nbv_loop_step_device(
+            rt, scene, dmem, mp, variables, opt_states, key)
+    jax.block_until_ready(losses["depth"])
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        variables, opt_states, losses, key = TM.nbv_loop_step(
-            rt, scene, memory, mp, variables, opt_states, key)
-    float(losses["depth"])  # sync
-    memory.flush()
+        variables, opt_states, losses, key = TM.nbv_loop_step_device(
+            rt, scene, dmem, mp, variables, opt_states, key)
+    jax.block_until_ready(losses["depth"])
     dt = (time.perf_counter() - t0) / n_iter
-    log(f"online pose loop (capture+decision+supervision+train, 50,880 faces):"
-        f" {dt * 1e3:.1f} ms/pose -> {1.0 / dt:.2f} poses/s")
+    log(f"online pose loop (capture+decision+supervision+train, 50,880 faces,"
+        f" zero-sync): {dt * 1e3:.1f} ms/pose -> {1.0 / dt:.2f} poses/s")
     return 1.0 / dt
 
 

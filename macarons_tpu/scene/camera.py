@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 from functools import partial
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -88,6 +88,201 @@ def capture_ring(camera: "Camera", verts, faces, X: np.ndarray, V: np.ndarray,
         verts, faces, vert_colors, texture_atlas, jnp.asarray(X),
         jnp.asarray(V), ring, camera.image_height, camera.image_width,
         float(camera.zfar), float(camera.contrast_factor), float(ambient))
+
+
+# ---------------------------------------------------------------------------
+# Device-resident episode state (zero-sync trajectories)
+# ---------------------------------------------------------------------------
+# The tunneled TPU runtime permanently degrades to synchronous dispatch after
+# ANY device->host transfer (ROADMAP "CRITICAL runtime facts": a big train
+# step costs 2.2 ms async vs 731 ms sync). The online pose loop therefore
+# keeps the WHOLE episode — current pose, visited set, histories — on device;
+# these pure functions replace the host Camera bookkeeping inside the fused
+# decide/move/capture program. The host Camera class remains for testers and
+# offline tools.
+
+
+class DeviceEpisode(NamedTuple):
+    """Episode state living entirely on device.
+
+    Mirrors the reference Camera's mutable episode fields
+    (macarons_utils.py:1852-2500): cam_idx / pose_history / X_cam / V_cam /
+    fov_camera plus the index history the trainer flushes at epoch end."""
+
+    cam_idx: jnp.ndarray  # (5,) int32 current lattice pose
+    visited: jnp.ndarray  # (n_poses,) bool flat pose history
+    X: jnp.ndarray  # (1, 3) current position
+    V: jnp.ndarray  # (1, 2) current (elev, azim) degrees
+    R: jnp.ndarray  # (1, 3, 3) current extrinsics
+    T: jnp.ndarray  # (1, 3)
+    idx_history: jnp.ndarray  # (max_moves, 5) int32
+    X_history: jnp.ndarray  # (max_frames, 3) every captured pose
+    V_history: jnp.ndarray  # (max_frames, 2)
+    n_moves: jnp.ndarray  # () int32
+    n_frames: jnp.ndarray  # () int32
+
+
+class PoseSpaceTables(NamedTuple):
+    """Static lattice tables passed INTO device programs (host numpy at trace
+    time would bake them as constants; as arguments the compiled program is
+    shared across scenes with equal lattice shapes)."""
+
+    x_min: jnp.ndarray  # (3,)
+    steps: jnp.ndarray  # (3,)
+    shifts: jnp.ndarray  # (54, 5) int32 neighbor move set
+    occupied: jnp.ndarray  # (L, W, H) bool
+
+
+def pose_space_tables(ps: "PoseSpace",
+                      occupied: Optional[np.ndarray] = None) -> PoseSpaceTables:
+    occ = (np.zeros((ps.pose_l, ps.pose_w, ps.pose_h), bool)
+           if occupied is None else np.asarray(occupied, bool))
+    return PoseSpaceTables(
+        x_min=jnp.asarray(ps.x_min, jnp.float32),
+        steps=jnp.asarray(ps.steps, jnp.float32),
+        shifts=jnp.asarray(POSE_SHIFTS, jnp.int32),
+        occupied=jnp.asarray(occ),
+    )
+
+
+def episode_pose_from_idx(idx, tables: PoseSpaceTables, n_elev: int,
+                          n_azim: int):
+    """Device twin of PoseSpace.pose_from_idx: (..., 5) idx -> (..., 5) pose
+    [x, y, z, elev_deg, azim_deg]."""
+    idx = jnp.asarray(idx)
+    pos = tables.x_min + (idx[..., :3].astype(jnp.float32) + 0.5) * tables.steps
+    elev = -90.0 + 180.0 * (1 + idx[..., 3].astype(jnp.float32)) / (n_elev + 1)
+    azim = 360.0 * idx[..., 4].astype(jnp.float32) / n_azim
+    return jnp.concatenate((pos, elev[..., None], azim[..., None]), axis=-1)
+
+
+def episode_flat_index(idx, dims: Tuple[int, ...]):
+    f = jnp.zeros(idx.shape[:-1], jnp.int32)
+    for k in range(5):
+        f = f * dims[k] + idx[..., k]
+    return f
+
+
+def episode_neighbors(ep: DeviceEpisode, tables: PoseSpaceTables,
+                      dims: Tuple[int, ...]):
+    """Neighbor pose candidates of the current pose, on device (reference
+    :2059-2084 + get_valid_neighbors :2086-2115 masks).
+
+    Returns (idx (54, 5) int32, new_ok (54,), visited (54,)). Duplicates after
+    clamping are left in place (harmless under argmax) but masked out of
+    new_ok/visited so gains never select a duplicate over the original."""
+    L, W, H, NE, NA = dims
+    res = ep.cam_idx[None, :] + tables.shifts  # (54, 5)
+    res = res.at[:, 0].set(jnp.clip(res[:, 0], 0, L - 1))
+    res = res.at[:, 1].set(jnp.clip(res[:, 1], 0, W - 1))
+    res = res.at[:, 2].set(jnp.clip(res[:, 2], 0, H - 1))
+    res = res.at[:, 3].set(jnp.clip(res[:, 3], 0, NE - 1))
+    res = res.at[:, 4].set(res[:, 4] % NA)
+    translating = jnp.abs(res[:, :3] - ep.cam_idx[None, :3]).sum(axis=1) > 0
+    # Dedup mask: first occurrence wins (sorted-pairwise compare is O(54^2),
+    # trivial at this size)
+    same = jnp.all(res[:, None, :] == res[None, :, :], axis=-1)  # (54, 54)
+    first = jnp.argmax(same, axis=1) == jnp.arange(res.shape[0])
+    ok = translating & first
+    flat = episode_flat_index(res, dims)
+    visited = ep.visited[flat]
+    occ = tables.occupied[res[:, 0], res[:, 1], res[:, 2]]
+    new_ok = ok & ~visited & ~occ
+    return res, new_ok, ok & visited
+
+
+def episode_interpolations(ep: DeviceEpisode, new_idx, tables: PoseSpaceTables,
+                           n_elev: int, n_azim: int, n_steps: int):
+    """All n_steps interpolated (X (K,3), V (K,2)) of a move to new_idx — the
+    device twin of Camera.interpolated_poses (reference :2141-2183, azimuth
+    wrap included)."""
+    old_pose = episode_pose_from_idx(ep.cam_idx, tables, n_elev, n_azim)
+    new_pose = episode_pose_from_idx(jnp.asarray(new_idx), tables, n_elev,
+                                     n_azim)
+    o4, n4 = ep.cam_idx[4], jnp.asarray(new_idx)[4]
+    offset = jnp.where((o4 == 0) & (n4 == n_azim - 1), -360.0,
+                       jnp.where((o4 == n_azim - 1) & (n4 == 0), 360.0, 0.0))
+    a = (jnp.arange(1, n_steps + 1, dtype=jnp.float32) / n_steps)[:, None]
+    X = old_pose[None, :3] + (new_pose[None, :3] - old_pose[None, :3]) * a
+    V = old_pose[None, 3:] + (new_pose[None, 3:] - old_pose[None, 3:]) * a
+    # The azimuth detour applies to intermediate steps only; the final step
+    # lands on the canonical pose value (reference update_camera `final`).
+    wrap = jnp.where(jnp.arange(1, n_steps + 1)[:, None] == n_steps, 0.0,
+                     offset * a)
+    V = V.at[:, 1:2].add(wrap)
+    return X, V
+
+
+def episode_commit(ep: DeviceEpisode, new_idx, X, V, R, T,
+                   dims: Tuple[int, ...]) -> DeviceEpisode:
+    """Apply a completed move: histories, visited flag, current pose state
+    (device twin of Camera.commit_move)."""
+    new_idx = jnp.asarray(new_idx)
+    K = X.shape[0]
+    flat = episode_flat_index(new_idx, dims)
+    return ep._replace(
+        cam_idx=new_idx,
+        visited=ep.visited.at[flat].set(True),
+        X=X[-1:], V=V[-1:], R=R[-1:], T=T[-1:],
+        idx_history=jax.lax.dynamic_update_slice(
+            ep.idx_history, new_idx[None], (ep.n_moves, 0)),
+        X_history=jax.lax.dynamic_update_slice(ep.X_history, X,
+                                               (ep.n_frames, 0)),
+        V_history=jax.lax.dynamic_update_slice(ep.V_history, V,
+                                               (ep.n_frames, 0)),
+        n_moves=ep.n_moves + 1,
+        n_frames=ep.n_frames + K,
+    )
+
+
+def init_device_episode(start_idx, tables: PoseSpaceTables, dims,
+                        n_elev: int, n_azim: int, max_moves: int,
+                        max_frames: int) -> DeviceEpisode:
+    """Episode state at a start pose (device twin of Camera.initialize:
+    visited flag set, one history entry recorded). start_idx may be a traced
+    (5,) int32 — episode init runs inside the start-pose-selection program."""
+    start_idx = jnp.asarray(start_idx).astype(jnp.int32)
+    pose = episode_pose_from_idx(start_idx, tables, n_elev, n_azim)
+    X, V = pose[None, :3], pose[None, 3:]
+    R, T = get_camera_RT(X, V)
+    n_flat = int(np.prod(dims))
+    flat = episode_flat_index(start_idx, tuple(dims))
+    return DeviceEpisode(
+        cam_idx=start_idx,
+        visited=jnp.zeros((n_flat,), bool).at[flat].set(True),
+        X=X, V=V, R=R, T=T,
+        idx_history=jnp.zeros((max_moves, 5), jnp.int32).at[0].set(start_idx),
+        X_history=jnp.zeros((max_frames, 3), jnp.float32).at[0].set(X[0]),
+        V_history=jnp.zeros((max_frames, 2), jnp.float32).at[0].set(V[0]),
+        n_moves=jnp.asarray(1, jnp.int32),
+        n_frames=jnp.asarray(1, jnp.int32),
+    )
+
+
+def episode_random_start(key, tables: PoseSpaceTables, dims, n_elev: int,
+                         n_azim: int, verts, proxy_points, H: int, W: int,
+                         zfar: float, batch: int = 256):
+    """Pick a random valid start pose ON DEVICE (device twin of
+    Camera.get_random_valid_pose, reference :2019-2051): sample `batch`
+    lattice poses, keep the first unoccupied one whose FoV contains mesh AND
+    proxy points. Returns ((5,) int32 idx, () bool any_valid)."""
+    ks = jax.random.split(key, 5)
+    idx = jnp.stack(
+        [jax.random.randint(ks[i], (batch,), 0, int(dims[i]))
+         for i in range(5)], axis=-1)
+    poses = episode_pose_from_idx(idx, tables, n_elev, n_azim)
+    R, T = get_camera_RT(poses[:, :3], poses[:, 3:])
+    cams = FoVCamera.create(R, T, zfar=zfar)
+    v = jnp.broadcast_to(verts[None], (batch, *verts.shape))
+    ok = points_in_fov_mask(v, cams, H, W, fov_range=5 * zfar).any(axis=-1)
+    if proxy_points is not None:
+        p = jnp.broadcast_to(proxy_points[None],
+                             (batch, *proxy_points.shape))
+        ok = ok & points_in_fov_mask(p, cams, H, W,
+                                     fov_range=5 * zfar).any(axis=-1)
+    ok = ok & ~tables.occupied[idx[:, 0], idx[:, 1], idx[:, 2]]
+    slot = jnp.argmax(ok)  # first valid (argmax returns the first max)
+    return idx[slot], jnp.any(ok)
 
 
 def build_pose_shifts() -> np.ndarray:

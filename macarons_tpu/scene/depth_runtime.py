@@ -95,6 +95,61 @@ def ring_frames(ring: FrameRing, n: int) -> Dict:
     }
 
 
+class FrameStore(NamedTuple):
+    """Device-resident frame store for a whole trajectory (zero-sync
+    training): every captured frame accumulates here instead of being written
+    to disk per pose (ANY d2h — even async — permanently degrades the
+    tunneled runtime to synchronous dispatch). The store IS the trajectory's
+    frame memory: replay windows are device slices, and the store is flushed
+    to the on-disk Memory once per epoch."""
+
+    images: jnp.ndarray  # (F_max, H, W, 3)
+    zbuf: jnp.ndarray  # (F_max, H, W, 1)
+    mask: jnp.ndarray  # (F_max, H, W, 1) bool
+    R: jnp.ndarray  # (F_max, 3, 3)
+    T: jnp.ndarray  # (F_max, 3)
+    n: jnp.ndarray  # () int32 frames written
+
+
+def init_frame_store(max_frames: int, height: int, width: int) -> FrameStore:
+    return FrameStore(
+        images=jnp.zeros((max_frames, height, width, 3), jnp.float32),
+        zbuf=jnp.full((max_frames, height, width, 1), -1.0, jnp.float32),
+        mask=jnp.zeros((max_frames, height, width, 1), bool),
+        R=jnp.broadcast_to(jnp.eye(3)[None], (max_frames, 3, 3)),
+        T=jnp.zeros((max_frames, 3), jnp.float32),
+        n=jnp.asarray(0, jnp.int32),
+    )
+
+
+def store_append(store: FrameStore, images, zbuf, mask, R, T) -> FrameStore:
+    """Append a capture batch at the write head. Pure — safe inside jit."""
+    at = store.n
+    return FrameStore(
+        images=jax.lax.dynamic_update_slice(store.images, images,
+                                            (at, 0, 0, 0)),
+        zbuf=jax.lax.dynamic_update_slice(store.zbuf, zbuf, (at, 0, 0, 0)),
+        mask=jax.lax.dynamic_update_slice(store.mask, mask, (at, 0, 0, 0)),
+        R=jax.lax.dynamic_update_slice(store.R, R, (at, 0, 0)),
+        T=jax.lax.dynamic_update_slice(store.T, T, (at, 0)),
+        n=at + images.shape[0],
+    )
+
+
+def store_window(store: FrameStore, last, n: int, zfar: float) -> Dict:
+    """Frames [last-n+1 .. last] as a create_batch_for_depth_model frames
+    dict (device twin of Memory.load_frame_sequence). `last` may be traced."""
+    lo = jnp.asarray(last, jnp.int32) - (n - 1)
+    return {
+        "images": jax.lax.dynamic_slice_in_dim(store.images, lo, n, 0),
+        "zbuf": jax.lax.dynamic_slice_in_dim(store.zbuf, lo, n, 0),
+        "mask": jax.lax.dynamic_slice_in_dim(store.mask, lo, n, 0),
+        "R": jax.lax.dynamic_slice_in_dim(store.R, lo, n, 0),
+        "T": jax.lax.dynamic_slice_in_dim(store.T, lo, n, 0),
+        "zfar": jnp.full((n,), zfar, jnp.float32),
+    }
+
+
 def create_batch_for_depth_model(cfg: DepthBatchConfig, frames: Dict,
                                  mode: str = "inference"):
     """Slice a loaded frame sequence into (batch, alpha) dicts

@@ -49,6 +49,33 @@ def initialize_proxy_points(key, x_min, x_max, n_proxy_points: int,
     )
 
 
+def initialize_proxy_points_np(seed: int, x_min, x_max, n_proxy_points: int,
+                               n_view_state_cameras: int = 98,
+                               default_proba: float = 0.5):
+    """Host-numpy twin of initialize_proxy_points: the trainer builds the cell
+    index table from the SAME host copy of the points, so scene setup never
+    reads the device array back (any d2h permanently degrades the tunneled
+    runtime to synchronous dispatch — ROADMAP "CRITICAL runtime facts").
+    numpy's seeded default_rng is stable across processes, so snapshot
+    layouts survive restarts. Returns (ProxyState, points_np)."""
+    x_min = np.asarray(x_min, np.float32)
+    x_max = np.asarray(x_max, np.float32)
+    rs = np.random.default_rng(seed)
+    pts_np = (x_min + (x_max - x_min)
+              * rs.random((n_proxy_points, 3), np.float32))
+    N = n_proxy_points
+    state = ProxyState(
+        points=jnp.asarray(pts_np),
+        proba=jnp.full((N, 1), default_proba),
+        supervision_occ=jnp.ones((N, 1)),
+        view_states=jnp.zeros((N, n_view_state_cameras)),
+        out_of_field=jnp.ones((N, 1)),
+        n_inside_fov=jnp.zeros((N, 1)),
+        n_behind_depth=jnp.zeros((N, 1)),
+    )
+    return state, pts_np
+
+
 def distance_between_proxy_points(x_min, x_max, n_proxy_points: int) -> float:
     """Typical proxy spacing (reference :2667-2673)."""
     vol = float(np.prod(np.asarray(x_max) - np.asarray(x_min)))

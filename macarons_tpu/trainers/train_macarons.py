@@ -50,18 +50,36 @@ from ..ops.sampling import random_subsample_mask, sample_points_on_mesh_surface
 from ..scene import grid as G
 from ..scene import proxy as P
 from ..scene import runtime as R
-from ..scene.camera import Camera, PoseSpace, capture_ring, get_camera_RT
+from ..scene.camera import (
+    Camera,
+    DeviceEpisode,
+    PoseSpace,
+    PoseSpaceTables,
+    capture_ring,
+    episode_commit,
+    episode_interpolations,
+    episode_neighbors,
+    episode_pose_from_idx,
+    episode_random_start,
+    get_camera_RT,
+    init_device_episode,
+    pose_space_tables,
+)
+from ..scene.camera import _capture_program
 from ..scene.depth_runtime import (
     DepthBatchConfig,
     FrameRing,
+    FrameStore,
     create_batch_for_depth_model,
     init_frame_ring,
+    init_frame_store,
     make_apply_depth_fn,
     ring_frames,
     ring_push,
+    store_append,
 )
 from ..parallel.nbv import pad_candidates
-from ..scene.memory import Memory
+from ..scene.memory import DeviceMemory, Memory
 from ..utils.checkpoint import checkpoint_exists
 
 
@@ -85,6 +103,8 @@ class SceneState:
     full_pc: List[np.ndarray] = field(default_factory=list)
     coverages: List[float] = field(default_factory=list)
     ring: Optional[FrameRing] = None  # device-resident recent-frame window
+    episode: Optional[DeviceEpisode] = None  # device-resident pose state
+    ps_tables: Optional[PoseSpaceTables] = None  # device lattice tables
 
     def __post_init__(self):
         # Device-resident mesh staged ONCE: the pose loop touches these every
@@ -149,8 +169,6 @@ def setup_scene(params: Params, scene_item: Dict, key,
     # digest — python's hash() is salted per process): saved memory snapshots
     # stay layout-compatible across epochs/trajectories AND process restarts,
     # and the per-cell occupancy program never recompiles for the same scene.
-    k_px = jax.random.PRNGKey(
-        zlib.crc32(scene_item["scene_name"].encode("utf-8")) % (2**31))
     gt_pts = sample_points_on_mesh_surface(
         k_gt, jnp.asarray(mesh.verts), jnp.asarray(mesh.faces),
         params.get("n_gt_surface_points", 16384),
@@ -159,8 +177,12 @@ def setup_scene(params: Params, scene_item: Dict, key,
     surface_scene = G.empty_grid(cfg)
 
     n_proxy = params.get("n_proxy_points", 100000)
-    prox = P.initialize_proxy_points(k_px, x_min, x_max, n_proxy)
-    table = R.build_cell_index_table(cfg, np.asarray(prox.points))
+    # Host-numpy twin generation: the cell table builds from the same host
+    # copy, so setup never reads the device points back (zero-d2h discipline)
+    prox, pts_np = P.initialize_proxy_points_np(
+        zlib.crc32(scene_item["scene_name"].encode("utf-8")) % (2**31),
+        x_min, x_max, n_proxy)
+    table = R.build_cell_index_table(cfg, pts_np)
     proxy_dist = P.distance_between_proxy_points(x_min, x_max, n_proxy)
 
     pose_space = PoseSpace(
@@ -187,6 +209,7 @@ def setup_scene(params: Params, scene_item: Dict, key,
         name=scene_item["scene_name"], mesh=mesh, settings=s, cfg=cfg,
         gt_scene=gt_scene, surface_scene=surface_scene, proxy=prox,
         cell_table=table, camera=camera, proxy_distance=proxy_dist,
+        ps_tables=pose_space_tables(pose_space, occupied),
     )
 
 
@@ -538,6 +561,165 @@ class MacaronsRuntime:
             jnp.asarray(carving_tolerance, jnp.float32),
             jnp.asarray(score_threshold, jnp.float32),
             jnp.asarray(vs_distance, jnp.float32), key, n_keep=n_keep)
+
+    # -- zero-sync device-episode programs ------------------------------------
+    # Fused programs whose EPISODE CONTROL lives on device: the argmax never
+    # comes to host, frames accumulate in a device FrameStore, the camera
+    # state is a DeviceEpisode. Zero d2h per pose — the tunneled runtime
+    # permanently degrades to synchronous dispatch after any d2h (731 vs
+    # 2.2 ms per depth train step), so the whole trajectory stays async.
+
+    def start_trajectory_device(self, scene: "SceneState", store: FrameStore,
+                                key, max_moves: int, max_frames: int):
+        """ONE launch: random valid start pose -> episode init -> the
+        1 + n_alpha priming captures -> ring + store writes. Returns
+        (episode, ring, store)."""
+        ps = scene.camera.pose_space
+        dims = tuple(int(d) for d in ps.dims)
+        contrast = float(scene.camera.contrast_factor)
+        cache = ("start_traj", dims, contrast, max_moves, max_frames)
+        if cache not in self._fused_steps:
+            dcfg = self.dcfg
+            H, W = self.H, self.W
+            NE, NA = dims[3], dims[4]
+            K = 1 + dcfg.n_alpha
+            ring_len = self.ring_length()
+
+            @jax.jit
+            def step(tables, verts, faces, colors, atlas, proxy_points, store,
+                     key):
+                k1, k2 = jax.random.split(key)
+                start_idx, _ok = episode_random_start(
+                    k1, tables, dims, NE, NA, verts, proxy_points, H, W,
+                    dcfg.zfar, batch=1024)
+                ep = init_device_episode(start_idx, tables, dims, NE, NA,
+                                         max_moves, max_frames)
+                X = jnp.broadcast_to(ep.X, (K, 3))
+                V = jnp.broadcast_to(ep.V, (K, 2))
+                Rb = jnp.broadcast_to(ep.R, (K, 3, 3))
+                Tb = jnp.broadcast_to(ep.T, (K, 3))
+                images, depth, mask = _capture_program(
+                    verts, faces, colors, atlas, Rb, Tb, H, W,
+                    float(dcfg.zfar), contrast, 1.0)
+                ring = init_frame_ring(ring_len, H, W, float(dcfg.zfar))
+                ring = ring_push(ring, images, depth, mask, Rb, Tb, dcfg.zfar)
+                store = store_append(store, images, depth, mask, Rb, Tb)
+                return ep, ring, store, k2
+
+            self._fused_steps[cache] = step
+        return self._fused_steps[cache](
+            scene.ps_tables, scene.verts_dev, scene.faces_dev,
+            scene.colors_dev, scene.atlas_dev, scene.proxy.points, store, key)
+
+    def decide_move_capture(self, variables: MacaronsVariables,
+                            scene: "SceneState", store: FrameStore, key,
+                            box_diag, warmup_phase: bool = False,
+                            carving_tolerance: float = 0.0,
+                            score_threshold: float = 1.0,
+                            vs_distance: float = 1.0):
+        """ONE launch for the whole decision + move + capture phase with
+        on-device episode control: ring depth inference -> mapping scan ->
+        occupancy field -> neighbor enumeration/validity -> fused scoring ->
+        argmax -> pose interpolation -> capture -> ring/store/episode updates
+        (reference loop part A + move, train_macarons.py:161-342 — but as one
+        device program with no host round-trip at all).
+
+        Returns (episode', ring', store', surface', proxy', field, key)."""
+        params = self.params
+        ps = scene.camera.pose_space
+        dims = tuple(int(d) for d in ps.dims)
+        contrast = float(scene.camera.contrast_factor)
+        n_keep = max(int(self.H * self.W
+                         * params.get("gathering_factor", 0.05)), 16)
+        cache = ("dmc", bool(warmup_phase), dims, contrast, n_keep)
+        if cache not in self._fused_steps:
+            dcfg = self.dcfg
+            H, W = self.H, self.W
+            NE, NA = dims[3], dims[4]
+            n_elev = params.get("view_state_n_elev", 7)
+            n_azim = params.get("view_state_n_azim", 14)
+            full_field = params.get("full_occupancy_field", True)
+            warmup = bool(warmup_phase)
+            n_interp = self.n_interpolation_steps
+
+            @partial(jax.jit, static_argnames=("cfg",))
+            def step(depth_vars, occ_vars, vis_vars, ep, ring, store, proxy,
+                     surface, tables, ps_tables, cfg, verts, faces, colors,
+                     atlas, box_diag, resolution, carving_tolerance,
+                     score_threshold, vs_distance, key):
+                R0, T0 = ep.R, ep.T
+                cam0 = FoVCamera.create(R0, T0, zfar=dcfg.zfar)
+                frames = ring_frames(ring, 1 + dcfg.n_alpha)
+                batch, alpha = create_batch_for_depth_model(
+                    dcfg, frames, "inference")
+                key, k = jax.random.split(key)
+                _, depth, mask, err_mask, _, _, _ = self.apply_depth_inference(
+                    depth_vars, batch, alpha, k)
+                fill = jnp.ones((depth.shape[0],), jnp.float32)
+                key, k = jax.random.split(key)
+                surface, proxy, _, _, _ = _mapping_update_scan(
+                    cfg, surface, proxy, depth, mask.astype(bool),
+                    err_mask.astype(bool), batch["R"], batch["T"], fill, k,
+                    jnp.asarray(dcfg.zfar), jnp.asarray(self.sensor_range),
+                    carving_tolerance, score_threshold, vs_distance,
+                    n_keep, H, W, n_elev, n_azim)
+                key, k_occ = jax.random.split(key)
+                proba, pred_mask, harm = self._occ_impl(
+                    occ_vars, proxy, surface, tables, cam0, k_occ,
+                    use_supervision_occ_mask=True, full_field=full_field)
+                if warmup:
+                    # Warmup scores with the carving pseudo-GT (reference
+                    # use_supervision_occ_instead_of_predicted,
+                    # macarons_utils.py:1501-1503)
+                    proba = proxy.supervision_occ
+                    pred_mask = proxy.out_of_field[:, 0] < 1.0
+                proxy = proxy._replace(
+                    proba=jnp.where(pred_mask[:, None], proba, proxy.proba))
+                fld = R.assemble_scene_field(proxy, proba, pred_mask, harm)
+
+                # On-device neighbor candidates + two-tier validity
+                cand, new_ok, vis_ok = episode_neighbors(ep, ps_tables, dims)
+                cand_poses = episode_pose_from_idx(cand, ps_tables, NE, NA)
+                cand_R, cand_T = get_camera_RT(cand_poses[:, :3],
+                                               cand_poses[:, 3:])
+                cand_cams = FoVCamera.create(cand_R, cand_T, zfar=dcfg.zfar)
+                B = cand.shape[0]
+                v = jnp.broadcast_to(verts[None], (B, *verts.shape))
+                fov_ok = points_in_fov_mask(
+                    v, cand_cams, H, W, fov_range=5 * dcfg.zfar).any(axis=-1)
+                key, k_cov = jax.random.split(key)
+                gains = self.coverage_gains(
+                    vis_vars, *fld, cand_cams, cand_poses[:, :3], cam0,
+                    box_diag, resolution, self.sensor_range, k_cov)
+                ok_new = new_ok & fov_ok
+                sel = jnp.where(jnp.any(ok_new), ok_new, vis_ok)
+                slot = jnp.argmax(jnp.where(sel, gains, -jnp.inf))
+                next_idx = cand[slot]
+
+                # Interpolated move + capture + episode commit, all on device
+                X, V = episode_interpolations(ep, next_idx, ps_tables, NE, NA,
+                                              n_interp)
+                R_m, T_m = get_camera_RT(X, V)
+                images, depth_c, mask_c = _capture_program(
+                    verts, faces, colors, atlas, R_m, T_m, H, W,
+                    float(dcfg.zfar), contrast, 1.0)
+                ring = ring_push(ring, images, depth_c, mask_c, R_m, T_m,
+                                 dcfg.zfar)
+                store = store_append(store, images, depth_c, mask_c, R_m, T_m)
+                ep = episode_commit(ep, next_idx, X, V, R_m, T_m, dims)
+                return ep, ring, store, surface, proxy, fld, key
+
+            self._fused_steps[cache] = step
+        return self._fused_steps[cache](
+            variables.depth, variables.occ, variables.vis, scene.episode,
+            scene.ring, store, scene.proxy, scene.surface_scene, self._tables,
+            scene.ps_tables, scene.cfg, scene.verts_dev, scene.faces_dev,
+            scene.colors_dev, scene.atlas_dev,
+            jnp.asarray(box_diag, jnp.float32),
+            jnp.asarray(scene.cfg.resolution, jnp.float32),
+            jnp.asarray(carving_tolerance, jnp.float32),
+            jnp.asarray(score_threshold, jnp.float32),
+            jnp.asarray(vs_distance, jnp.float32), key)
 
     def _supervision_batch_from_ring(self, ring: FrameRing):
         n = self.n_interpolation_steps + self.dcfg.n_alpha_for_supervision
@@ -1164,6 +1346,65 @@ def nbv_loop_step(rt: MacaronsRuntime, scene: SceneState, memory: Memory,
     return variables, opt_states, losses, key
 
 
+def nbv_loop_step_device(rt: MacaronsRuntime, scene: SceneState,
+                         dmem: DeviceMemory, memory_path: str,
+                         variables: MacaronsVariables, opt_states: Dict, key,
+                         freeze_scone: bool = False,
+                         warmup_phase: bool = False,
+                         online_learning: bool = True,
+                         surface_distance: Optional[float] = None,
+                         n_cells_active: Optional[int] = None):
+    """One full NBV iteration with ZERO device->host transfers: fused
+    decide+move+capture (episode control on device), depth step on the ring
+    window, fused SCONE supervision. Frames accumulate in the DeviceMemory's
+    FrameStore; losses stay on device."""
+    params = rt.params
+    if surface_distance is None:
+        surface_distance = 3.0 * scene.proxy_distance
+    box_diag = float(np.linalg.norm(
+        np.asarray(scene.cfg.x_max) - np.asarray(scene.cfg.x_min)))
+    carving_tolerance = params.get("carving_tolerance", 0.0)
+    score_threshold = params.get("score_threshold", 1.0)
+
+    # Pre-move camera drives the supervision predictions (reference
+    # fov_camera_0); the handles are device arrays — no transfer.
+    R0, T0 = scene.episode.R, scene.episode.T
+
+    (scene.episode, scene.ring, store, scene.surface_scene, scene.proxy,
+     field, key) = rt.decide_move_capture(
+        variables, scene, dmem.store(memory_path), key, box_diag,
+        warmup_phase=warmup_phase, carving_tolerance=carving_tolerance,
+        score_threshold=score_threshold,
+        vs_distance=3.0 * scene.proxy_distance)
+    dmem.update_store(memory_path, store, rt.n_interpolation_steps)
+
+    key, k = jax.random.split(key)
+    (variables_depth, opt_states["depth"], depth_loss, depth, mask, err_mask,
+     batch_R, batch_T) = rt.depth_train_step_ring(
+        variables.depth, opt_states["depth"], scene.ring, k,
+        online=online_learning)
+    if online_learning:
+        variables = variables._replace(depth=variables_depth)
+
+    train = online_learning and not freeze_scone
+    (occ_vars, vis_vars, opt_states["scone"], _, occ_loss, cov_loss,
+     scene.surface_scene, scene.proxy, key) = rt.scone_supervise_step(
+        variables.occ, variables.vis, opt_states["scone"], scene.proxy,
+        scene.surface_scene, scene.cfg, R0, T0, depth, mask, err_mask,
+        batch_R, batch_T, field, key, box_diag=box_diag,
+        cell_resolution=scene.cfg.resolution,
+        surface_distance=surface_distance,
+        vs_distance=3.0 * scene.proxy_distance,
+        n_cells_active=n_cells_active,
+        carving_tolerance=carving_tolerance,
+        score_threshold=score_threshold, train=train)
+    if train:
+        variables = variables._replace(occ=occ_vars, vis=vis_vars)
+
+    losses = {"depth": depth_loss, "occ": occ_loss, "cov": cov_loss}
+    return variables, opt_states, losses, key
+
+
 def nbv_parallel_step(rt: MacaronsRuntime, scenes: List[SceneState],
                       memories: List[Memory], memory_paths: List[str],
                       variables: MacaronsVariables, opt_states: Dict, key,
@@ -1531,15 +1772,31 @@ def run_trajectory(rt: MacaronsRuntime, scene: SceneState, memory: Memory,
                    warmup_phase: bool = False, online_learning: bool = True,
                    n_memory_loops: int = 0, remap_at: Optional[int] = None,
                    verbose: bool = False):
-    """Explore one trajectory of n_poses NBV steps in a scene."""
+    """Explore one trajectory of n_poses NBV steps in a scene.
+
+    With a DeviceMemory, the whole trajectory runs ZERO-SYNC: start-pose
+    selection, episode control, frame persistence, and all metrics stay on
+    device (ANY d2h permanently degrades the tunneled TPU runtime to
+    synchronous dispatch — 731 vs 2.2 ms per depth train step). Losses and
+    coverages are returned as device scalars; the epoch driver pulls them
+    at flush time. With a disk Memory, the host-episode path runs instead."""
     params = rt.params
     cam = scene.camera
-    start = cam.get_random_valid_pose(rs, scene.verts_dev,
-                                      proxy_points=scene.proxy.points)
-    cam.initialize(start)
-    # Prime the device frame ring (and the on-disk frame memory) with enough
-    # frames for the first depth inference — one launch + async writes
-    prime_ring(rt, scene, memory, memory_path)
+    device_mode = isinstance(memory, DeviceMemory)
+    if device_mode:
+        store = memory.begin_trajectory(memory_path)
+        key, k_start = jax.random.split(key)
+        scene.episode, scene.ring, store, key = rt.start_trajectory_device(
+            scene, store, k_start, max_moves=n_poses + 1,
+            max_frames=memory.max_frames)
+        memory.update_store(memory_path, store, 1 + rt.dcfg.n_alpha)
+    else:
+        start = cam.get_random_valid_pose(rs, scene.verts_dev,
+                                          proxy_points=scene.proxy.points)
+        cam.initialize(start)
+        # Prime the device frame ring (and the on-disk frame memory) with
+        # enough frames for the first depth inference — one launch + writes
+        prime_ring(rt, scene, memory, memory_path)
 
     # Occupancy-supervision curriculum over the trajectory (reference
     # train_macarons.py:1105-1139)
@@ -1559,7 +1816,8 @@ def run_trajectory(rt: MacaronsRuntime, scene: SceneState, memory: Memory,
             scene.surface_scene = G.fill_cells_progressive(
                 scene.cfg, G.empty_grid(scene.cfg), k, pts, valid)
 
-        variables, opt_states, losses, key = nbv_loop_step(
+        step_fn = nbv_loop_step_device if device_mode else nbv_loop_step
+        variables, opt_states, losses, key = step_fn(
             rt, scene, memory, memory_path, variables, opt_states, key,
             freeze_scone=freeze_scone, warmup_phase=warmup_phase,
             online_learning=online_learning,
@@ -1589,6 +1847,18 @@ def run_trajectory(rt: MacaronsRuntime, scene: SceneState, memory: Memory,
         if verbose:
             shown = {k_: float(v) for k_, v in losses.items()}
             print(f"  pose {pose_i}: losses {shown} coverage {float(cov):.4f}")
+
+    if device_mode:
+        # Losses/coverages stay DEVICE scalars (the epoch driver pulls at
+        # flush time); snapshots/poses are retained handles — zero d2h.
+        ep = scene.episode
+        memory.save_surface_scene(memory_path, scene.surface_scene)
+        memory.save_occupancy_field(memory_path, scene.proxy)
+        memory.save_poses(
+            memory_path, memory.current_epoch, ep.X_history, ep.V_history,
+            ep.idx_history, n_moves=n_poses + 1,
+            n_frames=1 + n_poses * rt.n_interpolation_steps)
+        return variables, opt_states, losses_acc, key
 
     # ONE deferred metric pull for the whole trajectory (the pose loop keeps
     # losses/coverages on device)
@@ -1778,6 +2048,31 @@ def run_training(params: Params, data_path: Optional[str] = None,
 
     begin_frozen = n_freeze > 0 and start_epoch < n_freeze
     best_val_coverage = -1.0
+
+    # Device-resident replay memory for the whole run (zero-sync training:
+    # frames/snapshots stay on device; ONE flush per epoch persists them in
+    # the Memory disk layout). Scene-parallel groups keep the disk path.
+    mem_root = memory_root or data_path
+    mem_dir = params.get("memory_dir_name", "macarons_memory")
+    all_paths = [os.path.join(mem_root, dataset[i]["scene_name"], mem_dir)
+                 for i in range(len(dataset))]
+    n_poses_cfg = params.get("n_poses_in_trajectory", 100)
+    traj_frames = (1 + params.get("n_alpha", 2)
+                   + n_poses_cfg * params.get("n_interpolation_steps", 4))
+    use_dmem = (params.get("device_memory", True)
+                and (params.get("n_parallel_scenes", 1) or 1) == 1)
+    dmem = None
+    if use_dmem:
+        dmem = DeviceMemory(
+            all_paths, current_epoch=start_epoch,
+            n_trajectories=params.get("n_memory_trajectories", 1),
+            max_frames=traj_frames, max_depths=max(traj_frames, 1),
+            height=params.get("image_height", 256),
+            width=params.get("image_width", 456),
+            zfar=params.get("zfar", 750.0))
+        if not params.get("start_from_scratch", True):
+            dmem.hydrate_from_disk()
+
     for epoch in range(start_epoch, params.get("epochs", 1)):
         t0 = time.time()
         epoch_losses = {"depth": [], "occ": [], "cov": []}
@@ -1805,13 +2100,8 @@ def run_training(params: Params, data_path: Optional[str] = None,
         if max_scenes_per_epoch:
             scene_indices = scene_indices[:max_scenes_per_epoch]
 
-        # One Memory over ALL scene dirs: depth replay samples frames
-        # across scenes (reference Memory(scene_memory_paths=...) spans the
-        # whole train set, train_macarons.py:1489-1494)
-        mem_root = memory_root or data_path
-        mem_dir = params.get("memory_dir_name", "macarons_memory")
-        all_paths = [os.path.join(mem_root, dataset[i]["scene_name"], mem_dir)
-                     for i in range(len(dataset))]
+        if dmem is not None:
+            dmem.current_epoch = epoch
 
         # Scene-parallel group size: one scene per device (the reference's
         # one scene per GPU, total_batch_size). 1 = sequential.
@@ -1851,9 +2141,12 @@ def run_training(params: Params, data_path: Optional[str] = None,
             ks = jax.random.fold_in(key, int(si))
             scene = setup_scene(params, item, ks, mirrored_axes=mirrored)
             mp = os.path.join(mem_root, item["scene_name"], mem_dir)
-            memory = Memory(all_paths, current_epoch=epoch,
-                            n_trajectories=params.get("n_memory_trajectories",
-                                                      1))
+            # One memory over ALL scene dirs: depth replay samples frames
+            # across scenes (reference Memory(scene_memory_paths=...) spans
+            # the whole train set, train_macarons.py:1489-1494)
+            memory = dmem if dmem is not None else Memory(
+                all_paths, current_epoch=epoch,
+                n_trajectories=params.get("n_memory_trajectories", 1))
             return item, scene, memory, mp
 
         n_poses = params.get("n_poses_in_trajectory", 100)
@@ -1887,8 +2180,22 @@ def run_training(params: Params, data_path: Optional[str] = None,
                 epoch_losses[k_] += traj_losses[k_]
             if verbose:
                 names = [dataset[int(si)]["scene_name"] for si in group_idx]
-                print(f"epoch {epoch} scenes {names}: final coverages "
-                      f"{[f'{c:.4f}' for c in lasts]}")
+                # With a DeviceMemory the coverages are still device scalars;
+                # formatting them here would d2h-sync mid-epoch.
+                if dmem is None:
+                    print(f"epoch {epoch} scenes {names}: final coverages "
+                          f"{[f'{c:.4f}' for c in lasts]}")
+                else:
+                    print(f"epoch {epoch} scenes {names}: trajectories done "
+                          f"(metrics deferred to epoch end)")
+
+        # Epoch boundary: the run's ONE intentional d2h region — persist the
+        # device-resident memory in the disk layout, then pull the metrics.
+        if dmem is not None:
+            dmem.flush_to_disk()
+        with jax.transfer_guard_device_to_host("allow"):
+            for k_ in epoch_losses:
+                epoch_losses[k_] = [float(v) for v in epoch_losses[k_]]
 
         mean_depth = float(np.mean(epoch_losses["depth"])) if epoch_losses["depth"] else 0.0
         all_train_losses.append(

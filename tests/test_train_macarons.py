@@ -4,6 +4,7 @@ import json
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -171,6 +172,121 @@ def test_pose_loop_device_residency(scene_dir, tmp_path):
             rt, scene, memory, mp, variables, opt_states, key)
     assert np.isfinite(float(losses["depth"]))
     memory.flush()
+
+
+def test_zero_sync_trajectory(scene_dir, tmp_path):
+    """With a DeviceMemory, an ENTIRE trajectory — start-pose selection,
+    every NBV pose, depth replay, SCONE replay, remap, frame persistence,
+    metrics — performs ZERO device->host transfers (the tunneled TPU runtime
+    permanently degrades to synchronous dispatch after any d2h). Trajectory 1
+    compiles + seeds the replay memory; trajectory 2 runs fully guarded."""
+    from macarons_tpu.data.scenes import SceneDataset
+    from macarons_tpu.models.macarons import (
+        create_macarons_model, init_macarons_variables,
+    )
+    from macarons_tpu.scene.memory import DeviceMemory
+
+    params = Params(dict(TINY, data_path=scene_dir))
+    dataset = SceneDataset(scene_dir)
+    model = create_macarons_model(params)
+    key = jax.random.PRNGKey(0)
+    variables = init_macarons_variables(params, model, jax.random.PRNGKey(1))
+    rs = np.random.default_rng(0)
+    scene = TM.setup_scene(params, dataset[0], key)
+    rt = TM.MacaronsRuntime(params, model, scene.cfg, scene.cell_table)
+    opt_states = {
+        "depth": rt.depth_tx.init(variables.depth["params"]),
+        "scone": rt.scone_tx.init({"occ": variables.occ["params"],
+                                   "vis": variables.vis["params"]}),
+    }
+    mp = str(tmp_path / "mem")
+    n_interp = params.get("n_interpolation_steps")
+    n_poses = 3
+    dmem = DeviceMemory(
+        [mp], current_epoch=0, n_trajectories=2,
+        max_frames=1 + params.get("n_alpha") + n_poses * n_interp,
+        max_depths=16, height=rt.H, width=rt.W, zfar=params.get("zfar"))
+    common = dict(n_poses=n_poses, n_memory_loops=1, remap_at=2,
+                  verbose=False)
+
+    # Trajectory 1 (traj slot 0): compiles every program, seeds replay memory
+    variables, opt_states, _, key = TM.run_trajectory(
+        rt, scene, dmem, mp, variables, opt_states, key, rs, **common)
+    assert dmem.n_frames(mp, 0) == 1 + params.get("n_alpha") + n_poses * n_interp
+    assert dmem.n_depths(mp, 0) > 0  # remap saved replay depths
+
+    # Trajectory 2 (traj slot 1): replays against slot 0, fully guarded
+    dmem.current_epoch = 1
+    with jax.transfer_guard_device_to_host("disallow"):
+        variables, opt_states, losses, key = TM.run_trajectory(
+            rt, scene, dmem, mp, variables, opt_states, key, rs, **common)
+    # Metrics come home only after the guard
+    assert np.isfinite(float(losses["depth"][-1]))
+    assert np.isfinite(float(scene.coverages[-1]))
+
+    # The flush persists the exact Memory disk layout
+    dmem.flush_to_disk()
+    from macarons_tpu.scene.memory import Memory
+
+    disk = Memory([mp], n_trajectories=2)
+    assert disk.n_frames(mp, 0) == dmem.n_frames(mp, 0)
+    assert disk.n_frames(mp, 1) == dmem.n_frames(mp, 1)
+    seq = disk.load_frame_sequence(mp, 2, 3, traj=1)
+    dev = dmem.load_frame_sequence(mp, 2, 3, traj=1)
+    np.testing.assert_allclose(seq["images"], np.asarray(dev["images"]))
+
+
+def test_device_episode_matches_host_camera(scene_dir):
+    """The on-device episode math (neighbors, validity, pose values,
+    interpolated moves) reproduces the host Camera/PoseSpace exactly."""
+    from macarons_tpu.scene import camera as C
+
+    ps = C.PoseSpace(np.array([-4.0, -4, -4]), np.array([4.0, 4, 4]),
+                     4, 4, 4, 3, 8)
+    dims = tuple(int(d) for d in ps.dims)
+    occupied = np.zeros((4, 4, 4), bool)
+    occupied[1, 2, 3] = True
+    tables = C.pose_space_tables(ps, occupied)
+    cam = C.Camera(pose_space=ps, zfar=20.0, image_height=32, image_width=48,
+                   n_interpolation_steps=3, occupied_poses=occupied)
+
+    start = np.array([0, 1, 2, 1, 7])
+    cam.initialize(start)
+    ep = C.init_device_episode(start, tables, dims, 3, 8, max_moves=8,
+                               max_frames=32)
+
+    # Pose values match the host lattice
+    np.testing.assert_allclose(
+        np.asarray(C.episode_pose_from_idx(jnp.asarray(start), tables, 3, 8)),
+        ps.pose_from_idx_np(start), rtol=1e-6)
+
+    # Neighbor set + occupancy/visited masks match
+    cand, new_ok, vis_ok = C.episode_neighbors(ep, tables, dims)
+    cand, new_ok = np.asarray(cand), np.asarray(new_ok)
+    host_nbrs = ps.neighbors(start)
+    dev_set = {tuple(c) for c, ok in zip(cand, new_ok) if ok}
+    host_set = {tuple(n) for n in host_nbrs
+                if not occupied[n[0], n[1], n[2]]}
+    assert dev_set == host_set
+
+    # Interpolated move matches (incl. the azimuth wrap: azim 7 -> 0)
+    target = np.array([1, 1, 2, 1, 0])
+    X_host, V_host = cam.interpolated_poses(target)
+    X_dev, V_dev = C.episode_interpolations(ep, jnp.asarray(target), tables,
+                                            3, 8, 3)
+    np.testing.assert_allclose(np.asarray(X_dev), X_host, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(V_dev), V_host, rtol=1e-5,
+                               atol=1e-4)
+
+    # Commit matches host bookkeeping
+    R_dev, T_dev = C.get_camera_RT(X_dev, V_dev)
+    ep2 = C.episode_commit(ep, jnp.asarray(target), X_dev, V_dev, R_dev,
+                           T_dev, dims)
+    cam.commit_move(target, X_host, V_host, R_dev, T_dev)
+    assert np.array_equal(np.asarray(ep2.cam_idx), cam.cam_idx)
+    assert bool(ep2.visited[ps.flat_index(target)])
+    np.testing.assert_allclose(np.asarray(ep2.X[0]),
+                               np.asarray(cam.X_cam[0]), rtol=1e-5)
 
 
 def test_pretrained_model_load(scene_dir, tmp_path):
