@@ -1426,36 +1426,53 @@ def nbv_parallel_step(rt: MacaronsRuntime, scenes: List[SceneState],
     S = len(scenes)
     carving_tolerance = params.get("carving_tolerance", 0.0)
     score_threshold = params.get("score_threshold", 1.0)
+    device_mode = isinstance(memories[0], DeviceMemory)
 
     # ---------- A. fused decision + move, per scene ----------
-    fields, box_diags = [], []
+    fields, box_diags, pred_R, pred_T = [], [], [], []
     for scene, memory, mp in zip(scenes, memories, memory_paths):
         rt.bind_scene(scene.cfg, scene.cell_table)
         cam = scene.camera
-        ensure_ring(rt, scene, memory, mp)
-        cam.fov_camera_0 = cam.fov_camera
         box_diag = float(np.linalg.norm(
             np.asarray(scene.cfg.x_max) - np.asarray(scene.cfg.x_min)))
-        idx, cand_poses, cand_new, cand_vis = cam.neighbor_candidates()
-        (scene.surface_scene, scene.proxy, field, slot,
-         key) = rt.decision_step(
-            variables, scene.ring, scene.proxy, scene.surface_scene,
-            scene.cfg, cam.fov_camera.R, cam.fov_camera.T, cand_poses,
-            cand_new, cand_vis, scene.verts_dev, box_diag,
-            scene.cfg.resolution, key, warmup_phase=warmup_phase,
-            carving_tolerance=carving_tolerance,
-            score_threshold=score_threshold,
-            vs_distance=3.0 * scene.proxy_distance)
-        next_idx = idx[min(int(_pull(slot)), idx.shape[0] - 1)]
-        X_interp, V_interp = cam.interpolated_poses(next_idx)
-        base = cam.n_frames_captured
-        images, depth_c, mask_c, R_dev, T_dev, scene.ring = capture_ring(
-            cam, scene.verts_dev, scene.faces_dev, X_interp, V_interp,
-            scene.ring, vert_colors=scene.colors_dev,
-            texture_atlas=scene.atlas_dev)
-        memory.save_frame_batch(mp, base, images, depth_c, mask_c, R_dev,
-                                T_dev, cam.zfar)
-        cam.commit_move(next_idx, X_interp, V_interp, R_dev, T_dev)
+        if device_mode:
+            # Zero-sync: episode control + capture + frame persistence in
+            # ONE launch per scene; no d2h anywhere.
+            pred_R.append(scene.episode.R)
+            pred_T.append(scene.episode.T)
+            (scene.episode, scene.ring, store, scene.surface_scene,
+             scene.proxy, field, key) = rt.decide_move_capture(
+                variables, scene, memory.store(mp), key, box_diag,
+                warmup_phase=warmup_phase,
+                carving_tolerance=carving_tolerance,
+                score_threshold=score_threshold,
+                vs_distance=3.0 * scene.proxy_distance)
+            memory.update_store(mp, store, rt.n_interpolation_steps)
+        else:
+            ensure_ring(rt, scene, memory, mp)
+            cam.fov_camera_0 = cam.fov_camera
+            pred_R.append(cam.fov_camera_0.R)
+            pred_T.append(cam.fov_camera_0.T)
+            idx, cand_poses, cand_new, cand_vis = cam.neighbor_candidates()
+            (scene.surface_scene, scene.proxy, field, slot,
+             key) = rt.decision_step(
+                variables, scene.ring, scene.proxy, scene.surface_scene,
+                scene.cfg, cam.fov_camera.R, cam.fov_camera.T, cand_poses,
+                cand_new, cand_vis, scene.verts_dev, box_diag,
+                scene.cfg.resolution, key, warmup_phase=warmup_phase,
+                carving_tolerance=carving_tolerance,
+                score_threshold=score_threshold,
+                vs_distance=3.0 * scene.proxy_distance)
+            next_idx = idx[min(int(_pull(slot)), idx.shape[0] - 1)]
+            X_interp, V_interp = cam.interpolated_poses(next_idx)
+            base = cam.n_frames_captured
+            images, depth_c, mask_c, R_dev, T_dev, scene.ring = capture_ring(
+                cam, scene.verts_dev, scene.faces_dev, X_interp, V_interp,
+                scene.ring, vert_colors=scene.colors_dev,
+                texture_atlas=scene.atlas_dev)
+            memory.save_frame_batch(mp, base, images, depth_c, mask_c, R_dev,
+                                    T_dev, cam.zfar)
+            cam.commit_move(next_idx, X_interp, V_interp, R_dev, T_dev)
         fields.append(field)
         box_diags.append(box_diag)
 
@@ -1495,7 +1512,6 @@ def nbv_parallel_step(rt: MacaronsRuntime, scenes: List[SceneState],
             close_mask, sup_gains, pre_proxy, pre_surface, sup_occ = (
                 scene_inputs[i])
             X_world, harmonics, occ, valid = fields[i]
-            cam0 = scene.camera.fov_camera_0
             tables = R.device_cell_tables(
                 scene.cfg, scene.cell_table,
                 params.get("prediction_neighborhood_size", 3.0))
@@ -1504,7 +1520,7 @@ def nbv_parallel_step(rt: MacaronsRuntime, scenes: List[SceneState],
                 "sup_occ": sup_occ,
                 "surface": SDP.pad_grid_state(pre_surface, Cp, Kp),
                 "tables": SDP.pad_cell_tables(tables, Cp, KCp),
-                "pred_R": cam0.R, "pred_T": cam0.T,
+                "pred_R": pred_R[i], "pred_T": pred_T[i],
                 "close_mask": close_mask,
                 "visited_R": batch_R[i * F:(i + 1) * F],
                 "visited_T": batch_T[i * F:(i + 1) * F],
@@ -1844,7 +1860,8 @@ def run_trajectory(rt: MacaronsRuntime, scene: SceneState, memory: Memory,
         cov, n_gt = G.scene_coverage(scene.cfg, scene.gt_scene,
                                      scene.surface_scene)
         scene.coverages.append(cov)
-        if verbose:
+        if verbose and not device_mode:
+            # Formatting device scalars would d2h-sync mid-trajectory
             shown = {k_: float(v) for k_, v in losses.items()}
             print(f"  pose {pose_i}: losses {shown} coverage {float(cov):.4f}")
 
@@ -1889,15 +1906,26 @@ def run_trajectories_parallel(rt: MacaronsRuntime, scenes: List[SceneState],
                               verbose: bool = False):
     """Explore one trajectory in each scene of a group, in lockstep, with the
     supervision steps data-parallel over the group (one scene per device —
-    the reference's DDP layout)."""
+    the reference's DDP layout). With DeviceMemory memories the whole group
+    runs zero-sync (device episodes, device frame stores, deferred metrics)."""
     params = rt.params
-    for scene in scenes:
-        cam = scene.camera
-        start = cam.get_random_valid_pose(rs, scene.verts_dev,
-                                          proxy_points=scene.proxy.points)
-        cam.initialize(start)
-    for scene, memory, mp in zip(scenes, memories, memory_paths):
-        prime_ring(rt, scene, memory, mp)
+    device_mode = isinstance(memories[0], DeviceMemory)
+    if device_mode:
+        for scene, memory, mp in zip(scenes, memories, memory_paths):
+            store = memory.begin_trajectory(mp)
+            key, k_start = jax.random.split(key)
+            scene.episode, scene.ring, store, key = rt.start_trajectory_device(
+                scene, store, k_start, max_moves=n_poses + 1,
+                max_frames=memory.max_frames)
+            memory.update_store(mp, store, 1 + rt.dcfg.n_alpha)
+    else:
+        for scene in scenes:
+            cam = scene.camera
+            start = cam.get_random_valid_pose(rs, scene.verts_dev,
+                                              proxy_points=scene.proxy.points)
+            cam.initialize(start)
+        for scene, memory, mp in zip(scenes, memories, memory_paths):
+            prime_ring(rt, scene, memory, mp)
 
     curr_dists = [R.curriculum_sampling_distances(
         max(n_poses, 2), s.proxy_distance, s.cfg.cell_size) for s in scenes]
@@ -1946,10 +1974,24 @@ def run_trajectories_parallel(rt: MacaronsRuntime, scenes: List[SceneState],
             cov, _ = G.scene_coverage(scene.cfg, scene.gt_scene,
                                       scene.surface_scene)
             scene.coverages.append(cov)
-        if verbose:
+        if verbose and not device_mode:
+            # Formatting device scalars would d2h-sync mid-trajectory
             shown = {k_: float(v) for k_, v in losses.items()}
             covs = [f"{float(s.coverages[-1]):.4f}" for s in scenes]
             print(f"  pose {pose_i}: losses {shown} coverages {covs}")
+
+    if device_mode:
+        # Metrics stay device scalars (pulled by the epoch driver at flush
+        # time); snapshots/poses are retained device handles.
+        for scene, memory, mp in zip(scenes, memories, memory_paths):
+            ep = scene.episode
+            memory.save_surface_scene(mp, scene.surface_scene)
+            memory.save_occupancy_field(mp, scene.proxy)
+            memory.save_poses(
+                mp, memory.current_epoch, ep.X_history, ep.V_history,
+                ep.idx_history, n_moves=n_poses + 1,
+                n_frames=1 + n_poses * rt.n_interpolation_steps)
+        return variables, opt_states, losses_acc, key
 
     for k_ in losses_acc:
         losses_acc[k_] = [float(v) for v in losses_acc[k_]]
@@ -2051,7 +2093,7 @@ def run_training(params: Params, data_path: Optional[str] = None,
 
     # Device-resident replay memory for the whole run (zero-sync training:
     # frames/snapshots stay on device; ONE flush per epoch persists them in
-    # the Memory disk layout). Scene-parallel groups keep the disk path.
+    # the Memory disk layout). Set device_memory=false for the disk path.
     mem_root = memory_root or data_path
     mem_dir = params.get("memory_dir_name", "macarons_memory")
     all_paths = [os.path.join(mem_root, dataset[i]["scene_name"], mem_dir)
@@ -2059,8 +2101,7 @@ def run_training(params: Params, data_path: Optional[str] = None,
     n_poses_cfg = params.get("n_poses_in_trajectory", 100)
     traj_frames = (1 + params.get("n_alpha", 2)
                    + n_poses_cfg * params.get("n_interpolation_steps", 4))
-    use_dmem = (params.get("device_memory", True)
-                and (params.get("n_parallel_scenes", 1) or 1) == 1)
+    use_dmem = params.get("device_memory", True)
     dmem = None
     if use_dmem:
         dmem = DeviceMemory(
