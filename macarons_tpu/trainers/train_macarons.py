@@ -2114,8 +2114,23 @@ def run_training(params: Params, data_path: Optional[str] = None,
         if not params.get("start_from_scratch", True):
             dmem.hydrate_from_disk()
 
-    for epoch in range(start_epoch, params.get("epochs", 1)):
+    # Optional per-process epoch cap: train.py --restart-per-epoch runs each
+    # epoch in a fresh process so the post-flush sync-dispatch state (ROADMAP
+    # CRITICAL fact 1: any d2h permanently degrades the tunneled runtime)
+    # dies with the process and every epoch trains on async dispatch.
+    end_epoch = params.get("epochs", 1)
+    per_process = params.get("max_epochs_per_process")
+    if per_process:
+        end_epoch = min(end_epoch, start_epoch + int(per_process))
+
+    for epoch in range(start_epoch, end_epoch):
         t0 = time.time()
+        # Per-epoch RNG derivation: a fresh process resuming at epoch e draws
+        # the SAME host and device streams as a single process reaching e, so
+        # restart-per-epoch runs are exactly equivalent to one-process runs.
+        rs = np.random.default_rng([params.get("random_seed", 42), epoch])
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(params.get("torch_seed", 5)), epoch)
         epoch_losses = {"depth": [], "occ": [], "cov": []}
         freeze_scone = epoch < n_freeze
         warmup = epoch < warmup_epochs
