@@ -7,26 +7,40 @@ cells of a 100k-proxy scene) + fused all-candidate coverage-gain scoring
 candidates) — and compares it against the reference's launch structure
 (Anttwo/MACARONS train_macarons.py:299-315: one launch per candidate).
 
-Timing discipline: NO host<->device transfer happens before or during the
-timed loops (a single d2h flips the tunneled TPU runtime into a synchronous
-dispatch mode with an ~84 ms per-launch floor; all device-constant tables are
-built host-side in numpy).
+Timing discipline (measured on the tunneled v5e runtime, round 3):
+- `jax.block_until_ready` DOES NOT WAIT on this runtime (0.04 ms observed
+  against a 5.3 s computation) — it only confirms enqueue. Every timed region
+  therefore ends with ONE device->host scalar pull, which is the only
+  operation that actually waits for the device; the pull's own RTT is
+  measured by re-pulling the ready buffer and subtracted.
+- That single pull permanently flips the process into synchronous dispatch,
+  so EACH measurement runs in its own subprocess (`bench.py --stage X`); the
+  parent orchestrates and never touches a device.
+- No d2h happens before or during a timed region, device-constant tables are
+  host numpy, and all device data is passed as jit arguments (closing over a
+  committed device array also degrades dispatch).
 
-Prints ONE JSON line:
+Prints ONE JSON line (last):
   {"metric": "nbv_decision_phases_per_sec", "value": ..., "unit": "phases/s",
    "vs_baseline": <fused rate / sequential-candidate-launch rate>}
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
-from macarons_tpu.utils.platform import configure_platform
+_IS_STAGE = "--stage" in sys.argv
 
-configure_platform()  # persistent compilation cache before first backend use
+if _IS_STAGE or "--only-pose" in sys.argv:
+    from macarons_tpu.utils.platform import configure_platform
 
-import jax  # noqa: E402
-import jax.numpy as jnp  # noqa: E402
+    configure_platform()  # persistent compilation cache before first backend use
+
+    import jax  # noqa: E402
+    import jax.numpy as jnp  # noqa: E402
+
 import numpy as np  # noqa: E402
 
 
@@ -34,8 +48,45 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_decision_phase():
-    """Full decision phase at reference scale. Returns (fused_dt, seq_dt)."""
+def _measure(step, n_iter, drain_s=4.0, label=""):
+    """Time n_iter enqueues of `step(i)` against an end-of-run scalar pull.
+
+    step(i) must enqueue iteration i (inputs varied by i — the tunnel elides
+    nothing, but sync-free loops need fresh inputs to be realistic) and return
+    a device array. Protocol: warm (compile) -> sleep-drain (no d2h; block_
+    until_ready would not actually wait) -> enqueue n_iter -> pull ONE scalar
+    (waits for the whole serial stream) -> subtract the pull RTT measured on
+    the now-ready buffer."""
+    out = step(0)
+    del out
+    time.sleep(drain_s)  # warmup tail; block_until_ready would lie
+    t0 = time.perf_counter()
+    for i in range(n_iter):
+        out = step(i)
+    s = jnp.sum(out)
+    t_enq = time.perf_counter() - t0
+    np.asarray(s)  # THE wait (first d2h: process is sync-dispatch after this)
+    total = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.asarray(s)  # ready buffer: pull RTT alone
+    rtt = time.perf_counter() - t0
+    dt = max(total - rtt, 1e-9) / n_iter
+    log(f"{label}: {dt * 1e3:.2f} ms/iter (n={n_iter}, enqueue "
+        f"{t_enq * 1e3:.1f} ms, total {total * 1e3:.1f} ms, rtt "
+        f"{rtt * 1e3:.1f} ms)")
+    if t_enq > 0.5 * (total - rtt):
+        log(f"{label}: WARNING enqueue-bound measurement (host dispatch "
+            f"dominates); treat as an upper bound on throughput")
+    return dt
+
+
+# --------------------------------------------------------------------------
+# Decision-phase stages
+# --------------------------------------------------------------------------
+
+def setup_decision():
+    """Production-scale decision-phase closures (fused / full-field / the
+    reference's sequential launch structure)."""
     from macarons_tpu.models.scone import SconeOcc, SconeVis
     from macarons_tpu.ops.geometry import FoVCamera, look_at_view_transform
     from macarons_tpu.scene import grid as G, proxy as P, runtime as R
@@ -109,114 +160,89 @@ def bench_decision_phase():
         return score(vis_vars, *field, cand_cams, X_cand, cam, box_diag,
                      cfg.resolution, 60.0, k2)
 
-    decision(jax.random.PRNGKey(10)).block_until_ready()
-    n_iter = 20
-    t0 = time.perf_counter()
-    for i in range(n_iter):
-        out = decision(jax.random.PRNGKey(20 + i))
-    out.block_until_ready()
-    fused_dt = (time.perf_counter() - t0) / n_iter
-
-    decision_full(jax.random.PRNGKey(12)).block_until_ready()
-    t0 = time.perf_counter()
-    for i in range(n_iter):
-        out = decision_full(jax.random.PRNGKey(60 + i))
-    out.block_until_ready()
-    full_dt = (time.perf_counter() - t0) / n_iter
-
-    decision_seq(jax.random.PRNGKey(11)).block_until_ready()
-    n_seq = 3
-    t0 = time.perf_counter()
-    for i in range(n_seq):
-        out = decision_seq(jax.random.PRNGKey(40 + i))
-    out.block_until_ready()
-    seq_dt = (time.perf_counter() - t0) / n_seq
-    return fused_dt, seq_dt, full_dt
+    return decision, decision_seq, decision_full
 
 
-def bench_scorer_micro():
+def stage_decision():
+    decision, _, _ = setup_decision()
+    dt = _measure(lambda i: decision(jax.random.PRNGKey(20 + i)), 30,
+                  label="decision phase fused (occ field + 30-cand scoring)")
+    return {"decision_ms": dt * 1e3}
+
+
+def stage_decision_full():
+    _, _, decision_full = setup_decision()
+    dt = _measure(lambda i: decision_full(jax.random.PRNGKey(60 + i)), 20,
+                  label="decision phase FULL-FIELD (all eligible cells)")
+    return {"decision_full_ms": dt * 1e3}
+
+
+def stage_decision_seq():
+    _, decision_seq, _ = setup_decision()
+    dt = _measure(lambda i: decision_seq(jax.random.PRNGKey(40 + i)), 3,
+                  label="decision phase sequential-candidates (reference "
+                  "launch structure)")
+    return {"decision_seq_ms": dt * 1e3}
+
+
+# --------------------------------------------------------------------------
+# Micro diagnostics
+# --------------------------------------------------------------------------
+
+def stage_scorer():
     from macarons_tpu.models.scone import SconeVis, compute_coverage_gain
 
-    seq_len, n_cam, n_harmonics = 2048, 52, 64
+    seq_len, n_cam = 2048, 52
     key = jax.random.PRNGKey(0)
     k1, k2, k3, k4 = jax.random.split(key, 4)
 
     model = SconeVis()
     pts = jax.random.normal(k1, (1, seq_len, 4)) * 0.3
-    vh = jax.random.normal(k2, (1, seq_len, n_harmonics)) * 0.1
+    vh = jax.random.normal(k2, (1, seq_len, 64)) * 0.1
     X_cam = jax.random.normal(k3, (1, n_cam, 3)) * 1.5
     variables = jax.jit(model.init)(k4, pts, vh)
 
-    # --- fused: model forward + all candidates in one launch -----------------
     @jax.jit
-    def fused(v, pts, vh, X_cam):
-        harmonics = model.apply(v, pts, vh)
+    def fused(v, pts, vh, X_cam, key):
+        harmonics = model.apply(v, pts + 0.0 * jax.random.uniform(key, (1,)),
+                                vh)
         return compute_coverage_gain(pts, harmonics, X_cam)
 
-    # --- sequential: the reference's launch structure: one candidate a time --
+    dt = _measure(
+        lambda i: fused(variables, pts, vh, X_cam, jax.random.PRNGKey(i)),
+        30, label=f"scorer micro fused ({n_cam} cands/launch)")
+    return {"scorer_fused_ms": dt * 1e3, "n_cam": n_cam}
+
+
+def stage_depth():
+    from macarons_tpu.models.many_depth import ManyDepth
+
+    dm = ManyDepth()
+    kk = jax.random.split(jax.random.PRNGKey(1), 4)
+    x = jax.random.uniform(kk[0], (1, 256, 456, 3))
+    xa = jax.random.uniform(kk[1], (1, 2, 256, 456, 3))
+    R = jnp.eye(3)[None]
+    T = jnp.zeros((1, 3))
+    gt_pose = jnp.zeros((1, 2, 6))
+    dvars = jax.jit(dm.init)(kk[2], x, xa, R, T, gt_pose=gt_pose)
+
     @jax.jit
-    def score_one(v, pts, vh, X_one):
-        harmonics = model.apply(v, pts, vh)
-        return compute_coverage_gain(pts, harmonics, X_one)
+    def depth_fwd(v, x, xa, R, T, gp, key):
+        return dm.apply(v, x + 0.0 * jax.random.uniform(key, (1,)), xa, R, T,
+                        gt_pose=gp)[1]
 
-    fused(variables, pts, vh, X_cam).block_until_ready()
-    score_one(variables, pts, vh, X_cam[:, :1]).block_until_ready()
-    log("compiled; backend:", jax.default_backend())
-
-    n_iter = 30
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = fused(variables, pts, vh, X_cam)
-    out.block_until_ready()
-    fused_dt = (time.perf_counter() - t0) / n_iter
-    fused_rate = n_cam / fused_dt
-
-    n_seq_iter = 3
-    t0 = time.perf_counter()
-    for _ in range(n_seq_iter):
-        for c in range(n_cam):
-            out = score_one(variables, pts, vh, X_cam[:, c : c + 1])
-    out.block_until_ready()
-    seq_dt = (time.perf_counter() - t0) / n_seq_iter
-    seq_rate = n_cam / seq_dt
-
-    log(f"micro fused: {fused_dt * 1e3:.2f} ms/52 cands -> {fused_rate:.0f} evals/s")
-    log(f"micro sequential: {seq_dt * 1e3:.2f} ms/52 cands -> {seq_rate:.0f} evals/s")
-    return fused_rate, seq_rate
+    dt = _measure(
+        lambda i: depth_fwd(dvars, x, xa, R, T, gt_pose,
+                            jax.random.PRNGKey(i)),
+        20, label="depth forward (256x456, 96 planes)")
+    return {"depth_fwd_ms": dt * 1e3}
 
 
-def bench_depth_fps():
+# --------------------------------------------------------------------------
+# End-to-end online pose loop
+# --------------------------------------------------------------------------
 
-    # --- secondary: depth FPS at reference scale (stderr diagnostic) ---------
-    try:
-        from macarons_tpu.models.many_depth import ManyDepth
-
-        dm = ManyDepth()
-        kk = jax.random.split(jax.random.PRNGKey(1), 4)
-        x = jax.random.uniform(kk[0], (1, 256, 456, 3))
-        xa = jax.random.uniform(kk[1], (1, 2, 256, 456, 3))
-        R = jnp.eye(3)[None]
-        T = jnp.zeros((1, 3))
-        gt_pose = jnp.zeros((1, 2, 6))
-        dvars = jax.jit(dm.init)(kk[2], x, xa, R, T, gt_pose=gt_pose)
-
-        @jax.jit
-        def depth_fwd(v, x, xa, R, T, gp):
-            return dm.apply(v, x, xa, R, T, gt_pose=gp)[1]
-
-        depth_fwd(dvars, x, xa, R, T, gt_pose).block_until_ready()
-        t0 = time.perf_counter()
-        for _ in range(10):
-            out = depth_fwd(dvars, x, xa, R, T, gt_pose)
-        out.block_until_ready()
-        dt = (time.perf_counter() - t0) / 10
-        log(f"depth forward (256x456, 96 planes): {dt * 1e3:.1f} ms -> "
-            f"{1.0 / dt:.1f} FPS")
-    except Exception as e:  # diagnostics must never break the headline metric
-        log("depth FPS measurement failed:", repr(e))
-
-
-def bench_pose_loop():
+def stage_pose():
     """End-to-end online-loop pose rate: capture (4-step interpolated move,
     one batched render of a ~51k-face scene) + decision phase + depth/scone
     optimizer steps + supervision signal — the full nbv_loop_step at
@@ -229,7 +255,6 @@ def bench_pose_loop():
     from macarons_tpu.models.macarons import (
         create_macarons_model, init_macarons_variables,
     )
-    from macarons_tpu.scene.memory import Memory
     from macarons_tpu.trainers import train_macarons as TM
 
     # UV-sphere scene mesh: 2 * 159 * 160 = 50,880 faces
@@ -252,7 +277,6 @@ def bench_pose_loop():
 
     tmp = tempfile.mkdtemp(prefix="bench_scene_")
     sdir = f"{tmp}/sphere"
-    import os
 
     os.makedirs(sdir, exist_ok=True)
     save_obj(f"{sdir}/mesh.obj",
@@ -282,10 +306,8 @@ def bench_pose_loop():
     model = create_macarons_model(params)
     key = jax.random.PRNGKey(0)
     variables = init_macarons_variables(params, model, jax.random.PRNGKey(1))
-    rs = np.random.default_rng(0)
     scene = TM.setup_scene(params, dataset[0], key)
     rt = TM.MacaronsRuntime(params, model, scene.cfg, scene.cell_table)
-    import optax  # noqa: F401  (tx built inside the runtime)
 
     opt_states = {
         "depth": rt.depth_tx.init(variables.depth["params"]),
@@ -294,12 +316,10 @@ def bench_pose_loop():
     }
     mp = f"{tmp}/mem"
     # ZERO-SYNC pose loop: episode control, frame persistence, and metrics
-    # all stay on device — the tunneled runtime permanently degrades to
-    # synchronous dispatch after ANY d2h (731 vs 2.2 ms per depth step), so
-    # the bench never pulls; it only blocks on the last pose's loss.
+    # all stay on device; the ONE d2h pull happens after the timed region.
     from macarons_tpu.scene.memory import DeviceMemory
 
-    n_iter = 10
+    n_iter = 20
     n_warm = 2
     dmem = DeviceMemory(
         [mp], max_frames=1 + rt.dcfg.n_alpha
@@ -311,67 +331,110 @@ def bench_pose_loop():
         max_frames=dmem.max_frames)
     dmem.update_store(mp, store, 1 + rt.dcfg.n_alpha)
 
-    # Warmup poses compile every program
+    # Warmup poses compile every program; the sleep drains the device queue
+    # (block_until_ready does NOT wait on the tunneled runtime)
     for _ in range(n_warm):
         variables, opt_states, losses, key = TM.nbv_loop_step_device(
             rt, scene, dmem, mp, variables, opt_states, key)
-    jax.block_until_ready(losses["depth"])
+    time.sleep(8.0)
     t0 = time.perf_counter()
     for _ in range(n_iter):
         variables, opt_states, losses, key = TM.nbv_loop_step_device(
             rt, scene, dmem, mp, variables, opt_states, key)
-    jax.block_until_ready(losses["depth"])
-    dt = (time.perf_counter() - t0) / n_iter
+    t_enq = time.perf_counter() - t0
+    np.asarray(losses["depth"])  # THE wait
+    total = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.asarray(losses["depth"])
+    rtt = time.perf_counter() - t0
+    dt = max(total - rtt, 1e-9) / n_iter
     log(f"online pose loop (capture+decision+supervision+train, 50,880 faces,"
-        f" zero-sync): {dt * 1e3:.1f} ms/pose -> {1.0 / dt:.2f} poses/s")
-    return 1.0 / dt
+        f" zero-sync): {dt * 1e3:.1f} ms/pose -> {1.0 / dt:.2f} poses/s "
+        f"(n={n_iter}, enqueue {t_enq * 1e3:.1f} ms, rtt {rtt * 1e3:.1f} ms)")
+    return {"pose_ms": dt * 1e3, "poses_per_sec": 1.0 / dt}
+
+
+STAGES = {
+    "decision": stage_decision,
+    "decision_full": stage_decision_full,
+    "decision_seq": stage_decision_seq,
+    "scorer": stage_scorer,
+    "depth": stage_depth,
+    "pose": stage_pose,
+}
+
+
+def _run_stage_subprocess(name):
+    """Run one measurement in a fresh process (the end-of-region d2h pull
+    flips a process into synchronous dispatch permanently — results from a
+    second measurement in the same process would be garbage)."""
+    r = subprocess.run([sys.executable, os.path.abspath(__file__),
+                        "--stage", name],
+                       capture_output=True, text=True, timeout=3600)
+    if r.stderr:
+        sys.stderr.write(r.stderr)
+        sys.stderr.flush()
+    if r.returncode != 0:
+        log(f"stage {name} failed (rc {r.returncode})")
+        return None
+    try:
+        return json.loads(r.stdout.strip().splitlines()[-1])
+    except Exception as e:
+        log(f"stage {name}: unparseable output {e!r}")
+        return None
 
 
 def main():
-    log("backend:", jax.default_backend())
+    if _IS_STAGE:
+        name = sys.argv[sys.argv.index("--stage") + 1]
+        log("backend:", jax.default_backend())
+        out = STAGES[name]()
+        print(json.dumps(out), flush=True)
+        return
+
     if "--only-pose" in sys.argv:
-        # Iteration helper: just the end-to-end pose-loop rate (the full run
-        # re-measures everything; the pose loop MUST have the chip to itself —
-        # a concurrent client on the single-tenant chip poisons the numbers).
-        poses_per_sec = bench_pose_loop()
+        # Iteration helper: just the end-to-end pose-loop rate. Safe to run
+        # in-process: the stage's single d2h pull comes after its timed
+        # region and the process exits right away.
+        log("backend:", jax.default_backend())
+        out = stage_pose()
         print(json.dumps({
             "metric": "online_nbv_poses_per_sec",
-            "value": round(poses_per_sec, 3),
+            "value": round(out["poses_per_sec"], 3),
             "unit": "poses/s",
             "vs_baseline": round(1.0, 2),
         }))
         return
-    # Headline FIRST: nothing before it may trigger a device->host transfer
-    fused_dt, seq_dt, full_dt = bench_decision_phase()
-    log(f"decision phase fused: {fused_dt * 1e3:.2f} ms "
-        f"(occ field + 30-candidate scoring) -> {1.0 / fused_dt:.1f} phases/s")
-    log(f"decision phase FULL-FIELD (all eligible cells, production default): "
-        f"{full_dt * 1e3:.2f} ms -> {1.0 / full_dt:.1f} phases/s")
-    log(f"decision phase sequential-candidates: {seq_dt * 1e3:.2f} ms "
-        f"-> {1.0 / seq_dt:.1f} phases/s")
 
-    poses_per_sec = None
-    try:
-        bench_scorer_micro()
-        bench_depth_fps()
-        poses_per_sec = bench_pose_loop()
-    except Exception as e:
-        log("diagnostics failed:", repr(e))
+    # Orchestrator: one subprocess per measurement; this process never
+    # touches a device (the chip is single-tenant).
+    dec = _run_stage_subprocess("decision")
+    dec_full = _run_stage_subprocess("decision_full")
+    dec_seq = _run_stage_subprocess("decision_seq")
+    _run_stage_subprocess("scorer")
+    _run_stage_subprocess("depth")
+    pose = _run_stage_subprocess("pose")
 
-    if poses_per_sec is not None:
+    if pose is not None:
         print(json.dumps({
             "metric": "online_nbv_poses_per_sec",
-            "value": round(poses_per_sec, 3),
+            "value": round(pose["poses_per_sec"], 3),
             "unit": "poses/s",
             "vs_baseline": round(1.0, 2),
         }))
-    # The driver records the LAST JSON line as the headline metric.
-    print(json.dumps({
-        "metric": "nbv_decision_phases_per_sec",
-        "value": round(1.0 / fused_dt, 2),
-        "unit": "phases/s",
-        "vs_baseline": round(seq_dt / fused_dt, 2),
-    }))
+    if dec is not None:
+        fused_ms = dec["decision_ms"]
+        vs = (dec_seq["decision_seq_ms"] / fused_ms
+              if dec_seq is not None else 1.0)
+        if dec_full is not None:
+            log(f"decision FULL-FIELD: {dec_full['decision_full_ms']:.2f} ms")
+        # The driver records the LAST JSON line as the headline metric.
+        print(json.dumps({
+            "metric": "nbv_decision_phases_per_sec",
+            "value": round(1000.0 / fused_ms, 2),
+            "unit": "phases/s",
+            "vs_baseline": round(vs, 2),
+        }))
 
 
 if __name__ == "__main__":
