@@ -193,13 +193,28 @@ def run_test(params: Params, data_path: Optional[str] = None,
              n_start_poses: int = 5, n_poses: Optional[int] = None,
              memory_root: Optional[str] = None,
              max_scenes: Optional[int] = None,
+             test_scenes: Optional[list] = None,
+             load_json: bool = False,
              verbose: bool = True):
-    """Full evaluation over scenes x start poses (reference run_test :621-765)."""
-    data_path = data_path or params.data_path
+    """Full evaluation over scenes x start poses (reference run_test :621-765).
+
+    ``test_scenes`` restricts evaluation to the named scenes and ``load_json``
+    merges into an existing results file — both reference test-config
+    behaviors (reference testers/scene.py:636, :664-668)."""
+    data_path = data_path or params.get("dataset_path") or params.data_path
     rs = np.random.default_rng(params.get("random_seed", 42))
     key = jax.random.PRNGKey(params.get("torch_seed", 5))
 
     dataset = SceneDataset(data_path)
+    test_scenes = test_scenes or params.get("test_scenes")
+    if test_scenes:
+        available = set(dataset.scene_names)
+        missing = [n for n in test_scenes if n not in available]
+        if missing and verbose:
+            print(f"warning: test scenes not found under {data_path}: "
+                  f"{missing}")
+        names_filter = [n for n in test_scenes if n in available]
+        dataset = SceneDataset(data_path, scene_names=names_filter)
     model = create_macarons_model(params)
     key, k_init = jax.random.split(key)
     variables = init_macarons_variables(params, model, k_init)
@@ -222,7 +237,8 @@ def run_test(params: Params, data_path: Optional[str] = None,
                 rt = MacaronsRuntime(params, model, scene.cfg, scene.cell_table)
             else:
                 rt.bind_scene(scene.cfg, scene.cell_table)
-            mem_root = memory_root or os.path.join(results_dir, "_test_memory")
+            mem_root = memory_root or os.path.join(
+                results_dir, params.get("memory_dir_name", "_test_memory"))
             memory_path = os.path.join(mem_root, name, f"start_{start_i}")
             memory = Memory([memory_path])
             start_idx = None
@@ -261,7 +277,15 @@ def run_test(params: Params, data_path: Optional[str] = None,
                       f"{traj['coverage'][-1]:.4f}")
 
     os.makedirs(results_dir, exist_ok=True)
-    with open(os.path.join(results_dir, results_name), "w") as f:
+    out_path = os.path.join(results_dir, results_name)
+    if load_json and os.path.isfile(out_path):
+        # Merge-resume semantics (reference :664-668): keep prior scenes,
+        # overwrite re-evaluated ones.
+        with open(out_path) as f:
+            merged = json.load(f)
+        merged.update(results)
+        results = merged
+    with open(out_path, "w") as f:
         json.dump(results, f)
     if verbose:
         print(f"done in {(time.time() - t0) / 60:.1f} min")

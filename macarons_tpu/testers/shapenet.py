@@ -180,6 +180,7 @@ def run_test(params: Params, data_path: Optional[str] = None,
              test_novel: bool = False,
              results_dir: str = "results/shapenet_reconstruction",
              max_meshes: Optional[int] = None,
+             results_name: Optional[str] = None,
              seed: int = 42, verbose: bool = True):
     """Evaluate NBV trajectories over the test split (reference run_test :234-298)."""
     data_path = data_path or params.data_path
@@ -235,7 +236,8 @@ def run_test(params: Params, data_path: Optional[str] = None,
     }
     os.makedirs(results_dir, exist_ok=True)
     suffix = "novel" if test_novel else "seen"
-    with open(os.path.join(results_dir, f"results_{suffix}.json"), "w") as f:
+    results_name = results_name or f"results_{suffix}.json"
+    with open(os.path.join(results_dir, results_name), "w") as f:
         json.dump(results, f, indent=2)
     if verbose:
         print("Avg coverages:", np.round(sum_cov / max(len(paths), 1), 4))

@@ -10,7 +10,7 @@ from macarons_tpu.utils.platform import configure_platform
 
 configure_platform()
 
-from macarons_tpu.config import load_params
+from macarons_tpu.config import load_params, normalize_test_config
 from macarons_tpu.testers.scene import run_test
 
 dir_path = os.path.abspath(os.path.dirname(__file__))
@@ -22,11 +22,11 @@ def main():
         "-c", "--config",
         default=os.path.join(
             dir_path, "configs/test/test_in_default_scenes_config.json"),
-        help="Path to the JSON test config.",
+        help="Path to the JSON test config (tpu-native or reference schema).",
     )
     args = parser.parse_args()
-    params = load_params(args.config)
-    if "training_config" in params:
+    params = normalize_test_config(load_params(args.config), dir_path)
+    if params.get("training_config") is not None:
         train_params = load_params(os.path.join(dir_path, params.training_config))
         train_params.update(params.to_dict())
         params = train_params
@@ -36,6 +36,7 @@ def main():
         results_dir=os.path.join(dir_path, "results/scene_exploration"),
         results_name=params.get("results_name", "test_results.json"),
         n_start_poses=params.get("n_start_poses", 5),
+        load_json=bool(params.get("load_json", False)),
     )
 
 
