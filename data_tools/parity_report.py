@@ -115,6 +115,54 @@ def main():
     rows.append(("SH visibility integration (2048 pts x 30 candidates)",
                  f"{np.abs(np.asarray(vis_j) - vis_t.numpy()).max():.2e}"))
 
+    # ManyDepth cost-volume warp at production feature resolution
+    # (256/4 x 456/4, 96 planes) — weights-free plane-sweep math
+    # (reference ManyDepth.py:111-205)
+    from macarons_tpu.models.many_depth import CostVolumeBuilder
+
+    B, A, fh, fw, C, D = 1, 2, 64, 114, 16, 96
+    feat = rand((B, fh, fw, C), 20, 0, 1)
+    feat_a = rand((B, A, fh, fw, C), 21, 0, 1)
+    Rj, Tj = geo.look_at_view_transform(dist=8.0, elev=jnp.array([20.0]),
+                                        azim=jnp.array([30.0]))
+    Ra, Ta = geo.look_at_view_transform(
+        dist=8.0, elev=jnp.array([22.0, 18.0]), azim=jnp.array([35.0, 25.0]))
+    builder = CostVolumeBuilder(height=fh * 4, width=fw * 4, d_min=0.5,
+                                d_max=750.0, n_depth=D, output_channels=4)
+    vars_ = builder.init(jax.random.PRNGKey(0), jnp.asarray(feat), Rj, Tj,
+                         jnp.asarray(feat_a), Ra[None], Ta[None])
+    _, cv_j = builder.apply(vars_, jnp.asarray(feat), Rj, Tj,
+                            jnp.asarray(feat_a), Ra[None], Ta[None],
+                            return_cost_volume=True)
+    cv_t = O.cost_volume(feat, np.asarray(Rj), np.asarray(Tj), feat_a,
+                         np.asarray(Ra)[None], np.asarray(Ta)[None],
+                         fov_deg=60.0, d_min=0.5, d_max=750.0, n_depth=D)
+    rows.append((f"ManyDepth cost-volume warp ({fh}x{fw} feats, {D} planes)",
+                 f"{np.abs(np.asarray(cv_j) - cv_t.numpy()).max():.2e}"))
+
+    # Photometric reconstruction loss at full frame resolution
+    # (reference depth_model_utils.py:577-673)
+    from macarons_tpu.models.depth_losses import reconstruction_loss
+
+    H, W = 256, 456
+    rs = np.random.default_rng(30)
+    images = rs.uniform(0, 1, (1, H, W, 3)).astype(np.float32)
+    alpha_images = rs.uniform(0, 1, (1, A, H, W, 3)).astype(np.float32)
+    depth = rs.uniform(3.0, 12.0, (1, H, W, 1)).astype(np.float32)
+    dmask = rs.uniform(0, 1, (1, H, W, 1)) > 0.15
+    cam = geo.FoVCamera.create(Rj, Tj, zfar=20.0)
+    cam_a = geo.FoVCamera.create(Ra, Ta, zfar=20.0)
+    loss_j = reconstruction_loss(
+        jnp.asarray(images), jnp.asarray(alpha_images), jnp.asarray(dmask),
+        cam, cam_a, jnp.asarray(depth), ssim_factor=0.85, use_mask=True,
+        zfar=20.0)
+    loss_t = O.reconstruction_loss(
+        images, alpha_images, dmask, np.asarray(Rj), np.asarray(Tj),
+        np.asarray(Ra)[None], np.asarray(Ta)[None], depth, fov_deg=60.0,
+        ssim_factor=0.85, use_mask=True, zfar=20.0)
+    rows.append((f"Photometric reconstruction loss ({H}x{W}, SSIM+L1+mask)",
+                 f"{abs(float(loss_j) - float(loss_t)):.2e}"))
+
     lines = [
         "# PARITY — JAX vs torch-CPU oracles",
         "",
@@ -136,9 +184,11 @@ def main():
         "  dtype); the round-1 2/9592 clamp deviation is fixed (the reference's",
         "  `-n_elev // 2` floor clamp + `% n_candidates` below-pole wrap are",
         "  reproduced, ops/view_state.py:_bin_directions).",
-        "- The depth network itself is excluded (no pretrained reference",
-        "  weights in this environment); everything it feeds into the decision",
-        "  phase (backprojection, carving, gains) is covered.",
+        "- The depth network's LEARNED convs are excluded (no pretrained",
+        "  reference weights in this environment); all the math around them",
+        "  is covered — backprojection, carving, gains, and now the",
+        "  plane-sweep cost-volume warp and the photometric SSIM+L1",
+        "  reconstruction loss (weights-free f64 oracles).",
     ]
     out = os.path.join(os.path.dirname(__file__), "..", "PARITY.md")
     with open(out, "w") as f:

@@ -261,28 +261,64 @@ def init_device_episode(start_idx, tables: PoseSpaceTables, dims,
 
 def episode_random_start(key, tables: PoseSpaceTables, dims, n_elev: int,
                          n_azim: int, verts, proxy_points, H: int, W: int,
-                         zfar: float, batch: int = 256):
+                         zfar: float, batch: int = 256,
+                         max_attempts: int = 8):
     """Pick a random valid start pose ON DEVICE (device twin of
     Camera.get_random_valid_pose, reference :2019-2051): sample `batch`
     lattice poses, keep the first unoccupied one whose FoV contains mesh AND
-    proxy points. Returns ((5,) int32 idx, () bool any_valid)."""
-    ks = jax.random.split(key, 5)
-    idx = jnp.stack(
-        [jax.random.randint(ks[i], (batch,), 0, int(dims[i]))
-         for i in range(5)], axis=-1)
-    poses = episode_pose_from_idx(idx, tables, n_elev, n_azim)
-    R, T = get_camera_RT(poses[:, :3], poses[:, 3:])
-    cams = FoVCamera.create(R, T, zfar=zfar)
-    v = jnp.broadcast_to(verts[None], (batch, *verts.shape))
-    ok = points_in_fov_mask(v, cams, H, W, fov_range=5 * zfar).any(axis=-1)
-    if proxy_points is not None:
-        p = jnp.broadcast_to(proxy_points[None],
-                             (batch, *proxy_points.shape))
-        ok = ok & points_in_fov_mask(p, cams, H, W,
-                                     fov_range=5 * zfar).any(axis=-1)
-    ok = ok & ~tables.occupied[idx[:, 0], idx[:, 1], idx[:, 2]]
-    slot = jnp.argmax(ok)  # first valid (argmax returns the first max)
-    return idx[slot], jnp.any(ok)
+    proxy points. The host path rejection-samples until it finds a valid
+    pose; here a device while_loop re-samples up to ``max_attempts`` batches
+    (no host round-trip), and a degenerate scene (no fully-valid pose in any
+    batch) falls back to an UNOCCUPIED pose rather than silently starting
+    inside geometry. Returns ((5,) int32 idx, () bool any_valid)."""
+
+    def sample(k):
+        ks = jax.random.split(k, 5)
+        idx = jnp.stack(
+            [jax.random.randint(ks[i], (batch,), 0, int(dims[i]))
+             for i in range(5)], axis=-1)
+        poses = episode_pose_from_idx(idx, tables, n_elev, n_azim)
+        R, T = get_camera_RT(poses[:, :3], poses[:, 3:])
+        cams = FoVCamera.create(R, T, zfar=zfar)
+        v = jnp.broadcast_to(verts[None], (batch, *verts.shape))
+        ok = points_in_fov_mask(v, cams, H, W, fov_range=5 * zfar).any(axis=-1)
+        if proxy_points is not None:
+            p = jnp.broadcast_to(proxy_points[None],
+                                 (batch, *proxy_points.shape))
+            ok = ok & points_in_fov_mask(p, cams, H, W,
+                                         fov_range=5 * zfar).any(axis=-1)
+        unocc = ~tables.occupied[idx[:, 0], idx[:, 1], idx[:, 2]]
+        return idx, ok & unocc, unocc
+
+    k0, k_loop = jax.random.split(key)
+    idx0, ok0, unocc0 = sample(k0)
+    slot0 = jnp.argmax(ok0)  # first valid (argmax returns the first max)
+    found0 = jnp.any(ok0)
+    # Degenerate-scene fallback: an unoccupied pose (idx0[0] only until one
+    # is sampled). Retry batches keep upgrading it while searching.
+    fb_ok0 = found0 | jnp.any(unocc0)
+    fb = jnp.where(jnp.any(unocc0), idx0[jnp.argmax(unocc0)], idx0[0])
+    sel0 = jnp.where(found0, idx0[slot0], fb)
+
+    def cond(carry):
+        i, _k, _sel, found, _fb_ok = carry
+        return (i < max_attempts) & ~found
+
+    def body(carry):
+        i, k, sel, found, fb_ok = carry
+        k, sub = jax.random.split(k)
+        idx, ok, unocc = sample(sub)
+        hit = jnp.any(ok)
+        hit_unocc = jnp.any(unocc)
+        sel = jnp.where(
+            hit & ~found, idx[jnp.argmax(ok)],
+            jnp.where(~found & ~fb_ok & hit_unocc,
+                      idx[jnp.argmax(unocc)], sel))
+        return i + 1, k, sel, found | hit, fb_ok | hit_unocc
+
+    _, _, sel, found, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(1), k_loop, sel0, found0, fb_ok0))
+    return sel, found
 
 
 def build_pose_shifts() -> np.ndarray:

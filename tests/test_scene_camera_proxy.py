@@ -150,3 +150,55 @@ def test_camera_collision():
                                       jnp.array([5.0, 0, 0]),
                                       proxy_distance=0.3,
                                       n_interpolation_steps=8))
+
+
+def test_episode_random_start_retries_and_degenerate(pose_space):
+    """episode_random_start must not silently start at an invalid pose: rare
+    valid poses are found by the device retry loop, and a fully degenerate
+    scene (every lattice cell occupied except a few, none valid) falls back
+    to an UNOCCUPIED pose with any_valid=False."""
+    verts, _ = cube_mesh(1.0)
+    verts = jnp.asarray(verts)
+    dims = (pose_space.pose_l, pose_space.pose_w, pose_space.pose_h,
+            pose_space.pose_n_elev, pose_space.pose_n_azim)
+
+    # Rare-valid scene: all but ONE position occupied. With batch=4 a single
+    # batch routinely misses it; the while_loop retries must find it.
+    occ = np.ones((dims[0], dims[1], dims[2]), bool)
+    occ[3, 3, 3] = False
+    tables = C.pose_space_tables(pose_space, occupied=occ)
+    found_any = False
+    for seed in range(4):
+        idx, ok = C.episode_random_start(
+            jax.random.PRNGKey(seed), tables, dims, dims[3], dims[4], verts,
+            None, 32, 48, 20.0, batch=4, max_attempts=64)
+        idx = np.asarray(idx)
+        if bool(ok):
+            found_any = True
+            assert tuple(idx[:3]) == (3, 3, 3)
+            assert not occ[idx[0], idx[1], idx[2]]
+    assert found_any
+
+    # Degenerate scene: EVERY position occupied -> no valid pose exists.
+    # The fallback pose must still be reported with any_valid=False (the
+    # caller can then raise / pick the host path).
+    occ_all = np.ones((dims[0], dims[1], dims[2]), bool)
+    tables_bad = C.pose_space_tables(pose_space, occupied=occ_all)
+    idx, ok = C.episode_random_start(
+        jax.random.PRNGKey(0), tables_bad, dims, dims[3], dims[4], verts,
+        None, 32, 48, 20.0, batch=8, max_attempts=4)
+    assert not bool(ok)
+    assert np.asarray(idx).shape == (5,)
+
+    # Mostly-occupied but with unoccupied cells that fail the FoV test is
+    # exercised implicitly above; here check the unoccupied fallback: occupy
+    # everything except one cell, but make FoV impossible by passing a mesh
+    # far outside every frustum.
+    far_verts = jnp.asarray(np.full((8, 3), 1e6, np.float32))
+    idx, ok = C.episode_random_start(
+        jax.random.PRNGKey(1), tables, dims, dims[3], dims[4], far_verts,
+        None, 32, 48, 20.0, batch=64, max_attempts=4)
+    assert not bool(ok)
+    idx = np.asarray(idx)
+    # fallback prefers an unoccupied position when one was sampled
+    assert not occ[idx[0], idx[1], idx[2]] or occ.all()

@@ -124,3 +124,61 @@ def test_visibility_integration_parity():
     z = torch.einsum("bclh,blh->bcl", Y, torch.tensor(harmonics).double())
     vis_t = torch.sigmoid(z)
     np.testing.assert_allclose(np.asarray(vis_j), vis_t.numpy(), atol=2e-4)
+
+
+def test_cost_volume_parity():
+    """Plane-sweep cost volume (reference ManyDepth.py:111-205): f32 JAX
+    builder vs the weights-free f64 torch oracle."""
+    from macarons_tpu.models.many_depth import CostVolumeBuilder
+
+    B, A, fh, fw, C, D = 1, 2, 16, 24, 8, 8
+    feat = _rand((B, fh, fw, C), 20, 0, 1)
+    feat_a = _rand((B, A, fh, fw, C), 21, 0, 1)
+    Rj, Tj = geo.look_at_view_transform(
+        dist=6.0, elev=jnp.array([20.0]), azim=jnp.array([30.0]))
+    Ra, Ta = geo.look_at_view_transform(
+        dist=6.0, elev=jnp.array([22.0, 18.0]), azim=jnp.array([35.0, 25.0]))
+    builder = CostVolumeBuilder(height=fh * 4, width=fw * 4, d_min=1.0,
+                                d_max=12.0, n_depth=D, output_channels=4)
+    vars_ = builder.init(jax.random.PRNGKey(0), jnp.asarray(feat), Rj, Tj,
+                         jnp.asarray(feat_a), Ra[None], Ta[None])
+    _, cv_j = builder.apply(vars_, jnp.asarray(feat), Rj, Tj,
+                            jnp.asarray(feat_a), Ra[None], Ta[None],
+                            return_cost_volume=True)
+    cv_t = O.cost_volume(feat, np.asarray(Rj), np.asarray(Tj), feat_a,
+                         np.asarray(Ra)[None], np.asarray(Ta)[None],
+                         fov_deg=60.0, d_min=1.0, d_max=12.0, n_depth=D)
+    diff = np.abs(np.asarray(cv_j) - cv_t.numpy())
+    assert diff.max() < 1e-4, diff.max()
+
+
+def test_reconstruction_loss_parity():
+    """Photometric warp + SSIM/L1 blend + per-pixel min + masked mean
+    (reference depth_model_utils.py:577-673) vs the f64 torch oracle."""
+    from macarons_tpu.models.depth_losses import reconstruction_loss
+
+    B, A, H, W = 1, 2, 32, 48
+    rs = np.random.default_rng(30)
+    images = rs.uniform(0, 1, (B, H, W, 3)).astype(np.float32)
+    alpha_images = rs.uniform(0, 1, (B, A, H, W, 3)).astype(np.float32)
+    depth = rs.uniform(3.0, 9.0, (B, H, W, 1)).astype(np.float32)
+    mask = (rs.uniform(0, 1, (B, H, W, 1)) > 0.15)
+    Rj, Tj = geo.look_at_view_transform(
+        dist=6.0, elev=jnp.array([20.0]), azim=jnp.array([30.0]))
+    Ra, Ta = geo.look_at_view_transform(
+        dist=6.0, elev=jnp.array([23.0, 17.0]), azim=jnp.array([36.0, 24.0]))
+    cam = geo.FoVCamera.create(Rj, Tj, zfar=20.0)
+    cam_a = geo.FoVCamera.create(Ra, Ta, zfar=20.0)
+
+    for ssim_factor, use_mask in [(0.85, True), (0.0, True), (0.85, False)]:
+        loss_j = reconstruction_loss(
+            jnp.asarray(images), jnp.asarray(alpha_images), jnp.asarray(mask),
+            cam, cam_a, jnp.asarray(depth), ssim_factor=ssim_factor,
+            use_mask=use_mask, zfar=20.0)
+        loss_t = O.reconstruction_loss(
+            images, alpha_images, mask, np.asarray(Rj), np.asarray(Tj),
+            np.asarray(Ra)[None], np.asarray(Ta)[None], depth,
+            fov_deg=60.0, ssim_factor=ssim_factor, use_mask=use_mask,
+            zfar=20.0)
+        assert abs(float(loss_j) - float(loss_t)) < 1e-4, (
+            ssim_factor, use_mask, float(loss_j), float(loss_t))

@@ -204,3 +204,136 @@ def signed_distance_to_depth(pts_world, depth, R, T, fov_deg, H, W, zfar):
         depth_t, grid, mode="bilinear", padding_mode="border",
         align_corners=False).reshape(-1)
     return pv[:, 2] - sampled
+
+
+# ---------------------------------------------------------------------------
+# ManyDepth cost-volume warp + photometric reconstruction loss
+# (reference ManyDepth.py:111-205 cost volume, depth_model_utils.py:577-673
+# reconstruction loss) — weights-free f64 twins of the math the depth module
+# runs around its learned convs.
+# ---------------------------------------------------------------------------
+
+
+def cost_volume(feat, R, T, feat_alpha, R_alpha, T_alpha, fov_deg=60.0,
+                d_min=0.5, d_max=750.0, n_depth=96):
+    """Plane-sweep L1 cost volume (reference ManyDepth.py:111-205).
+
+    feat (B, fh, fw, C); R (B, 3, 3); T (B, 3); feat_alpha (B, A, fh, fw, C).
+    Returns torch f64 (B, fh, fw, n_depth)."""
+    feat = torch.as_tensor(np.asarray(feat), dtype=torch.float64)
+    R = torch.as_tensor(np.asarray(R), dtype=torch.float64)
+    T = torch.as_tensor(np.asarray(T), dtype=torch.float64)
+    feat_alpha = torch.as_tensor(np.asarray(feat_alpha), dtype=torch.float64)
+    R_alpha = torch.as_tensor(np.asarray(R_alpha), dtype=torch.float64)
+    T_alpha = torch.as_tensor(np.asarray(T_alpha), dtype=torch.float64)
+    B, fh, fw, C = feat.shape
+    A = feat_alpha.shape[1]
+    D = n_depth
+    s = min(fh, fw)
+    tan_half = math.tan(math.radians(fov_deg) / 2.0)
+
+    j = torch.arange(fw, dtype=torch.float64)
+    i = torch.arange(fh, dtype=torch.float64)
+    x_ndc = (fw / s - 2.0 * j / (s - 1))[None, :].expand(fh, fw).reshape(-1)
+    y_ndc = (fh / s - 2.0 * i / (s - 1))[:, None].expand(fh, fw).reshape(-1)
+    depths = torch.linspace(d_min, d_max, D, dtype=torch.float64)
+    P = fh * fw
+    pv = torch.stack(
+        (x_ndc[None] * depths[:, None] * tan_half,
+         y_ndc[None] * depths[:, None] * tan_half,
+         depths[:, None].expand(D, P)), dim=-1)  # (D, P, 3)
+    # view -> world per batch: X_w = (X_v - T) R^T
+    world = (torch.einsum("dpj,bij->bdpi", pv, R)
+             - torch.einsum("bj,bij->bi", T, R)[:, None, None, :])
+    # world -> each alpha view
+    view_a = (torch.einsum("bdpj,baji->badpi", world, R_alpha)
+              + T_alpha[:, :, None, None, :])
+    z = view_a[..., 2]
+    safe_z = torch.where(z.abs() < 1e-8, torch.full_like(z, 1e-8), z)
+    gx = -(s / fw) * (view_a[..., 0] / (safe_z * tan_half))
+    gy = -(s / fh) * (view_a[..., 1] / (safe_z * tan_half))
+    grid = torch.stack((gx, gy), dim=-1).reshape(B * A, D * P, 1, 2)
+    src = feat_alpha.reshape(B * A, fh, fw, C).permute(0, 3, 1, 2)
+    warped = torch.nn.functional.grid_sample(
+        src, grid, mode="bilinear", padding_mode="zeros",
+        align_corners=False)  # (B*A, C, D*P, 1)
+    warped = warped.reshape(B, A, C, D, P).permute(0, 1, 3, 4, 2)
+    warped = warped.mean(dim=1)  # (B, D, P, C)
+    target = feat.reshape(B, 1, P, C)
+    cost = (warped - target).abs().mean(dim=-1)  # (B, D, P)
+    return cost.reshape(B, D, fh, fw).permute(0, 2, 3, 1)
+
+
+def _ssim_dist(x, y):
+    """(1 - SSIM)/2 with 3x3 reflect-padded average pools (reference
+    ManyDepth.py:809-842). x, y: torch f64 (N, C, H, W)."""
+    C1, C2 = 0.01 ** 2, 0.03 ** 2
+    pad = torch.nn.ReflectionPad2d(1)
+
+    def pool(v):
+        return torch.nn.functional.avg_pool2d(pad(v), 3, 1)
+
+    mu_x, mu_y = pool(x), pool(y)
+    sigma_x = pool(x ** 2) - mu_x ** 2
+    sigma_y = pool(y ** 2) - mu_y ** 2
+    sigma_xy = pool(x * y) - mu_x * mu_y
+    n = (2 * mu_x * mu_y + C1) * (2 * sigma_xy + C2)
+    d = (mu_x ** 2 + mu_y ** 2 + C1) * (sigma_x + sigma_y + C2)
+    return ((1 - n / d) / 2).clamp(0.0, 1.0)
+
+
+def reconstruction_loss(images, alpha_images, mask, R, T, R_alpha, T_alpha,
+                        depth, fov_deg=60.0, ssim_factor=0.85,
+                        use_mask=True, zfar=750.0, padding_mode="border"):
+    """Photometric reprojection loss (reference depth_model_utils.py:577-673).
+
+    images (B, H, W, 3); alpha_images (B, A, H, W, 3); mask (B, H, W, 1) bool;
+    depth (B, H, W, 1); R/T target cameras, R_alpha/T_alpha (B, A, ...).
+    Returns a torch f64 scalar."""
+    images = torch.as_tensor(np.asarray(images), dtype=torch.float64)
+    alpha_images = torch.as_tensor(np.asarray(alpha_images),
+                                   dtype=torch.float64)
+    mask_t = torch.as_tensor(np.asarray(mask), dtype=torch.bool)
+    depth = torch.as_tensor(np.asarray(depth), dtype=torch.float64)
+    R = torch.as_tensor(np.asarray(R), dtype=torch.float64)
+    T = torch.as_tensor(np.asarray(T), dtype=torch.float64)
+    R_alpha = torch.as_tensor(np.asarray(R_alpha), dtype=torch.float64)
+    T_alpha = torch.as_tensor(np.asarray(T_alpha), dtype=torch.float64)
+    B, H, W, _ = images.shape
+    A = alpha_images.shape[1]
+    s = min(H, W)
+    tan_half = math.tan(math.radians(fov_deg) / 2.0)
+
+    warp_depth = torch.where(mask_t, depth,
+                             torch.full_like(depth, zfar)) if use_mask \
+        else depth
+
+    losses = []
+    for b in range(B):
+        world = backproject_depth(warp_depth[b], R[b], T[b], fov_deg, H, W)
+        per_alpha = []
+        for a in range(A):
+            pv = world @ R_alpha[b, a] + T_alpha[b, a]
+            z = pv[:, 2]
+            safe_z = torch.where(z.abs() < 1e-8, torch.full_like(z, 1e-8), z)
+            gx = -(s / W) * (pv[:, 0] / (safe_z * tan_half))
+            gy = -(s / H) * (pv[:, 1] / (safe_z * tan_half))
+            grid = torch.stack((gx, gy), dim=-1).reshape(1, H, W, 2)
+            src = alpha_images[b, a].permute(2, 0, 1)[None]
+            warped = torch.nn.functional.grid_sample(
+                src, grid, mode="bilinear", padding_mode=padding_mode,
+                align_corners=False)  # (1, 3, H, W)
+            tgt = images[b].permute(2, 0, 1)[None]
+            l1 = (tgt - warped).abs().mean(dim=1, keepdim=True)
+            if ssim_factor > 0:
+                sm = _ssim_dist(tgt, warped).mean(dim=1, keepdim=True)
+                per_alpha.append(ssim_factor * sm + (1 - ssim_factor) * l1)
+            else:
+                per_alpha.append(l1)
+        loss = torch.stack(per_alpha, dim=0).min(dim=0).values  # (1,1,H,W)
+        if use_mask:
+            m = mask_t[b, ..., 0].double()
+            losses.append((loss[0, 0] * m).sum() / (m.sum() + 1e-7))
+        else:
+            losses.append(loss.mean())
+    return torch.stack(losses).sum() if use_mask else torch.stack(losses).mean()
