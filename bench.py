@@ -137,9 +137,11 @@ def setup_decision():
                      cfg.resolution, 60.0, k2)
 
     def decision_seq(key):
-        # The reference's structure: occupancy field + ONE launch per candidate
+        # The reference's structure: occupancy field (same production
+        # full-field coverage) + ONE launch per candidate
         k1, k2 = jax.random.split(key)
-        proba, mask, harm = field_fn(occ_vars, prox, surface, cam, k1)
+        proba, mask, harm = field_fn(occ_vars, prox, surface, cam, k1,
+                                     full_field=True)
         field = R.assemble_scene_field(prox, proba, mask, harm)
         outs = []
         for c in range(n_cand):
@@ -217,7 +219,9 @@ def stage_scorer():
 def stage_depth():
     from macarons_tpu.models.many_depth import ManyDepth
 
-    dm = ManyDepth()
+    # Production dtype on TPU: bf16 convs, f32 geometry/params/disparity
+    # (create_macarons_model default). f32 path covered by unit tests.
+    dm = ManyDepth(dtype=jnp.bfloat16)
     kk = jax.random.split(jax.random.PRNGKey(1), 4)
     x = jax.random.uniform(kk[0], (1, 256, 456, 3))
     xa = jax.random.uniform(kk[1], (1, 2, 256, 456, 3))
@@ -242,11 +246,10 @@ def stage_depth():
 # End-to-end online pose loop
 # --------------------------------------------------------------------------
 
-def stage_pose():
-    """End-to-end online-loop pose rate: capture (4-step interpolated move,
-    one batched render of a ~51k-face scene) + decision phase + depth/scone
-    optimizer steps + supervision signal — the full nbv_loop_step at
-    reference scale (256x456 frames, 100k proxies, 2048-pt transformers)."""
+def setup_pose(n_iter=20, n_warm=2):
+    """Shared production-scale online-loop context (scene, runtime, device
+    memory, primed trajectory) for the pose stage and the per-phase budget
+    stages."""
     import tempfile
 
     from macarons_tpu.config import Params
@@ -319,8 +322,6 @@ def stage_pose():
     # all stay on device; the ONE d2h pull happens after the timed region.
     from macarons_tpu.scene.memory import DeviceMemory
 
-    n_iter = 20
-    n_warm = 2
     dmem = DeviceMemory(
         [mp], max_frames=1 + rt.dcfg.n_alpha
         + (n_iter + n_warm) * rt.n_interpolation_steps,
@@ -330,7 +331,18 @@ def stage_pose():
         scene, store, key, max_moves=n_iter + n_warm + 1,
         max_frames=dmem.max_frames)
     dmem.update_store(mp, store, 1 + rt.dcfg.n_alpha)
+    return rt, scene, dmem, mp, variables, opt_states, key, n_iter, n_warm
 
+
+def stage_pose():
+    """End-to-end online-loop pose rate: capture (4-step interpolated move,
+    one batched render of a ~51k-face scene) + decision phase + depth/scone
+    optimizer steps + supervision signal — the full nbv_loop_step at
+    reference scale (256x456 frames, 100k proxies, 2048-pt transformers)."""
+    from macarons_tpu.trainers import train_macarons as TM
+
+    rt, scene, dmem, mp, variables, opt_states, key, n_iter, n_warm = \
+        setup_pose()
     # Warmup poses compile every program; the sleep drains the device queue
     # (block_until_ready does NOT wait on the tunneled runtime)
     for _ in range(n_warm):
@@ -354,6 +366,90 @@ def stage_pose():
     return {"pose_ms": dt * 1e3, "poses_per_sec": 1.0 / dt}
 
 
+def _pose_phase_stage(phase):
+    """Device-time budget for ONE phase of the online pose loop
+    (VERDICT r3: attribute the 4 s/pose across decision+capture / depth
+    step / scone supervision). Each phase gets its own subprocess; one full
+    warm pose primes every compiled program and provides realistic inputs."""
+    import jax  # noqa: F811
+    from macarons_tpu.trainers import train_macarons as TM
+
+    rt, scene, dmem, mp, variables, opt_states, key, n_iter, n_warm = \
+        setup_pose()
+    params = rt.params
+    box_diag = float(np.linalg.norm(
+        np.asarray(scene.cfg.x_max) - np.asarray(scene.cfg.x_min)))
+    surface_distance = 3.0 * scene.proxy_distance
+    R0, T0 = scene.episode.R, scene.episode.T
+
+    # One warm pose compiles all three programs and yields phase inputs
+    for _ in range(n_warm):
+        variables, opt_states, losses, key = TM.nbv_loop_step_device(
+            rt, scene, dmem, mp, variables, opt_states, key)
+
+    if phase == "dmc":
+        def step(i):
+            nonlocal key
+            (scene.episode, scene.ring, store, scene.surface_scene,
+             scene.proxy, field, key) = rt.decide_move_capture(
+                variables, scene, dmem.store(mp), key, box_diag,
+                vs_distance=3.0 * scene.proxy_distance)
+            dmem.update_store(mp, store, rt.n_interpolation_steps)
+            return field[2]
+    elif phase == "depth":
+        def step(i):
+            nonlocal key, variables, opt_states
+            key, k = jax.random.split(key)
+            (vd, opt_states["depth"], depth_loss, *_ ) = \
+                rt.depth_train_step_ring(
+                    variables.depth, opt_states["depth"], scene.ring, k,
+                    online=True)
+            variables = variables._replace(depth=vd)
+            return depth_loss
+    elif phase == "scone":
+        # Fixed realistic inputs from one decision+depth pass
+        (scene.episode, scene.ring, store, scene.surface_scene, scene.proxy,
+         field, key) = rt.decide_move_capture(
+            variables, scene, dmem.store(mp), key, box_diag,
+            vs_distance=3.0 * scene.proxy_distance)
+        dmem.update_store(mp, store, rt.n_interpolation_steps)
+        key, k = jax.random.split(key)
+        (_, _, _, depth, mask, err_mask, batch_R, batch_T) = \
+            rt.depth_train_step_ring(variables.depth, opt_states["depth"],
+                                     scene.ring, k, online=True)
+
+        def step(i):
+            nonlocal key, variables, opt_states
+            (occ_vars, vis_vars, opt_states["scone"], _, occ_loss, cov_loss,
+             scene.surface_scene, scene.proxy, key) = rt.scone_supervise_step(
+                variables.occ, variables.vis, opt_states["scone"],
+                scene.proxy, scene.surface_scene, scene.cfg, R0, T0, depth,
+                mask, err_mask, batch_R, batch_T, field, key,
+                box_diag=box_diag, cell_resolution=scene.cfg.resolution,
+                surface_distance=surface_distance,
+                vs_distance=3.0 * scene.proxy_distance, train=True)
+            variables = variables._replace(occ=occ_vars, vis=vis_vars)
+            return occ_loss
+    else:
+        raise ValueError(phase)
+
+    dt = _measure(step, n_iter, drain_s=8.0,
+                  label=f"pose phase [{phase}]")
+    return {f"{phase}_ms": dt * 1e3}
+
+
+def stage_phase_dmc():
+    return _pose_phase_stage("dmc")
+
+
+def stage_phase_depth():
+    return _pose_phase_stage("depth")
+
+
+def stage_phase_scone():
+    return _pose_phase_stage("scone")
+
+
 STAGES = {
     "decision": stage_decision,
     "decision_full": stage_decision_full,
@@ -361,6 +457,9 @@ STAGES = {
     "scorer": stage_scorer,
     "depth": stage_depth,
     "pose": stage_pose,
+    "phase_dmc": stage_phase_dmc,
+    "phase_depth": stage_phase_depth,
+    "phase_scone": stage_phase_scone,
 }
 
 
@@ -395,14 +494,16 @@ def main():
     if "--only-pose" in sys.argv:
         # Iteration helper: just the end-to-end pose-loop rate. Safe to run
         # in-process: the stage's single d2h pull comes after its timed
-        # region and the process exits right away.
+        # region and the process exits right away. No A100 reference
+        # measurement exists for this loop in this environment, so
+        # vs_baseline is null, not a fabricated 1.0.
         log("backend:", jax.default_backend())
         out = stage_pose()
         print(json.dumps({
             "metric": "online_nbv_poses_per_sec",
             "value": round(out["poses_per_sec"], 3),
             "unit": "poses/s",
-            "vs_baseline": round(1.0, 2),
+            "vs_baseline": None,
         }))
         return
 
@@ -414,26 +515,43 @@ def main():
     _run_stage_subprocess("scorer")
     _run_stage_subprocess("depth")
     pose = _run_stage_subprocess("pose")
+    budget = {}
+    for ph in ("phase_dmc", "phase_depth", "phase_scone"):
+        r = _run_stage_subprocess(ph)
+        if r:
+            budget.update(r)
+    if budget and pose is not None:
+        tracked = sum(budget.values())
+        log("pose device-time budget: "
+            + ", ".join(f"{k} {v:.0f} ms" for k, v in budget.items())
+            + f"; sum {tracked:.0f} ms vs end-to-end "
+            f"{pose['pose_ms']:.0f} ms")
 
     if pose is not None:
+        # No reference measurement of this loop is runnable here (the A100
+        # torch reference is not in this environment): vs_baseline is null.
         print(json.dumps({
             "metric": "online_nbv_poses_per_sec",
             "value": round(pose["poses_per_sec"], 3),
             "unit": "poses/s",
-            "vs_baseline": round(1.0, 2),
+            "vs_baseline": None,
         }))
-    if dec is not None:
-        fused_ms = dec["decision_ms"]
-        vs = (dec_seq["decision_seq_ms"] / fused_ms
-              if dec_seq is not None else 1.0)
-        if dec_full is not None:
-            log(f"decision FULL-FIELD: {dec_full['decision_full_ms']:.2f} ms")
+    if dec_full is not None:
+        # HEADLINE: the production-default FULL-FIELD decision phase (every
+        # eligible cell predicted, train_macarons.py full_occupancy_field)
+        # vs the reference's launch structure running the same full-field
+        # program — a measured same-chip structural ratio.
+        full_ms = dec_full["decision_full_ms"]
+        if dec is not None:
+            log(f"decision capped top-32: {dec['decision_ms']:.2f} ms")
+        vs = (round(dec_seq["decision_seq_ms"] / full_ms, 2)
+              if dec_seq is not None else None)
         # The driver records the LAST JSON line as the headline metric.
         print(json.dumps({
             "metric": "nbv_decision_phases_per_sec",
-            "value": round(1000.0 / fused_ms, 2),
+            "value": round(1000.0 / full_ms, 2),
             "unit": "phases/s",
-            "vs_baseline": round(vs, 2),
+            "vs_baseline": vs,
         }))
 
 

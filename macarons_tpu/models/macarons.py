@@ -35,6 +35,16 @@ class MacaronsVariables(NamedTuple):
 
 def create_macarons_model(params: Params) -> MacaronsModel:
     """Assemble the three modules from config (reference Macarons.py:232-253)."""
+    # bf16 convs are the TPU production default (geometry/disparity heads stay
+    # f32 inside the module; params stay f32, so checkpoints are unchanged).
+    # CPU runs keep f32 — emulated bf16 is slower there and the unit/parity
+    # suites compare f32. Override with depth_compute_dtype.
+    depth_dtype = params.get("depth_compute_dtype")
+    if depth_dtype is None:
+        depth_dtype = ("bfloat16" if jax.default_backend() not in ("cpu",)
+                       else None)
+    if depth_dtype in ("none", "float32"):
+        depth_dtype = None
     depth = ManyDepth(
         input_height=params.get("image_height", 256),
         input_width=params.get("image_width", 456),
@@ -43,6 +53,7 @@ def create_macarons_model(params: Params) -> MacaronsModel:
         n_depth=params.get("n_depth", 96),
         pose_factor=params.get("pose_factor", 100.0),
         learn_pose=params.get("learn_pose", False),
+        dtype=jnp.dtype(depth_dtype) if depth_dtype else None,
     )
     occ = SconeOcc(
         seq_len=params.get("seq_len", 2048),

@@ -21,7 +21,7 @@ TPU-first deltas (fresh weights — the reference ships no depth checkpoint):
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -46,10 +46,11 @@ N_DEPTH = 96
 POSE_FACTOR = 100.0
 
 
-def _reflect_conv(x, features, name):
+def _reflect_conv(x, features, name, dtype=None):
     """3x3 conv with reflect padding (torch padding_mode='reflect')."""
     x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
-    return nn.Conv(features, (3, 3), padding="VALID", name=name)(x)
+    return nn.Conv(features, (3, 3), padding="VALID", dtype=dtype,
+                   name=name)(x)
 
 
 class CostVolumeBuilder(nn.Module):
@@ -67,6 +68,7 @@ class CostVolumeBuilder(nn.Module):
     n_depth: int = N_DEPTH
     output_channels: int = 64
     fov: float = 60.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, feat, R, T, feat_alpha, R_alpha, T_alpha,
@@ -78,10 +80,12 @@ class CostVolumeBuilder(nn.Module):
         D = self.n_depth
 
         tan_half = float(np.tan(np.deg2rad(self.fov) / 2.0))
-        ndc_x, ndc_y = ndc_pixel_grid(fh, fw, dtype=feat.dtype)
+        # Geometry stays f32 even under bf16 compute (depth planes up to 750
+        # have a bf16 ulp of ~4; warp coordinates must not quantize)
+        ndc_x, ndc_y = ndc_pixel_grid(fh, fw, dtype=jnp.float32)
         px = ndc_x.reshape(-1)  # (P,)
         py = ndc_y.reshape(-1)
-        depths = jnp.linspace(self.d_min, self.d_max, D, dtype=feat.dtype)
+        depths = jnp.linspace(self.d_min, self.d_max, D, dtype=jnp.float32)
 
         # View-space points of each depth plane at each feature pixel: (D, P, 3)
         pv = jnp.stack(
@@ -93,14 +97,16 @@ class CostVolumeBuilder(nn.Module):
             axis=-1,
         )
         # World points per batch: (B, D, P, 3) = (pv - T) @ R^T
-        world = jnp.einsum("dpj,bij->bdpi", pv, R) - jnp.einsum(
-            "bj,bij->bi", T, R
+        R32 = R.astype(jnp.float32)
+        T32 = T.astype(jnp.float32)
+        world = jnp.einsum("dpj,bij->bdpi", pv, R32) - jnp.einsum(
+            "bj,bij->bi", T32, R32
         )[:, None, None, :]
 
         # Project into each alpha camera: view_a = world @ R_a + T_a
-        view_a = jnp.einsum("bdpj,baji->badpi", world, R_alpha) + T_alpha[
-            :, :, None, None, :
-        ]
+        view_a = jnp.einsum(
+            "bdpj,baji->badpi", world, R_alpha.astype(jnp.float32)
+        ) + T_alpha.astype(jnp.float32)[:, :, None, None, :]
         z = view_a[..., 2]
         safe_z = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
         x_ndc = view_a[..., 0] / (safe_z * tan_half)
@@ -122,9 +128,10 @@ class CostVolumeBuilder(nn.Module):
         cost = jnp.mean(jnp.abs(warped - target), axis=-1)  # (B, D, P)
         cost_volume = jnp.moveaxis(cost.reshape(B, D, fh, fw), 1, -1)  # NHWC
 
-        res = jnp.concatenate((feat, cost_volume), axis=-1)
+        res = jnp.concatenate(
+            (feat, cost_volume.astype(feat.dtype)), axis=-1)
         res = nn.relu(nn.Conv(self.output_channels, (3, 3), padding=1,
-                              name="conv_reduce")(res))
+                              dtype=self.dtype, name="conv_reduce")(res))
         if return_cost_volume:
             return res, cost_volume
         return res
@@ -136,25 +143,30 @@ class ExpansionLayer(nn.Module):
     inner_channels: int
     output_channels: int
     output_size: Tuple[int, int]
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, x_add=None):
         y = nn.elu(nn.Conv(self.inner_channels, (3, 3), padding=1,
-                           name="upconv")(x))
+                           dtype=self.dtype, name="upconv")(x))
         y = jax.image.resize(
             y, (y.shape[0], *self.output_size, y.shape[-1]), method="nearest"
         )
         if x_add is not None:
-            y = jnp.concatenate((y, x_add), axis=-1)
-        return nn.elu(_reflect_conv(y, self.output_channels, "iconv"))
+            y = jnp.concatenate((y, x_add.astype(y.dtype)), axis=-1)
+        return nn.elu(_reflect_conv(y, self.output_channels, "iconv",
+                                    dtype=self.dtype))
 
 
 class DisparityLayer(nn.Module):
-    """Reflect conv -> sigmoid disparity in (0,1) (reference :366-384)."""
+    """Reflect conv -> sigmoid disparity in (0,1) (reference :366-384).
+
+    Always f32: the disparity head feeds disp->depth conversion where bf16
+    quantization would alias depth bins."""
 
     @nn.compact
     def __call__(self, x):
-        return nn.sigmoid(_reflect_conv(x, 1, "conv"))
+        return nn.sigmoid(_reflect_conv(x.astype(jnp.float32), 1, "conv"))
 
 
 class DepthDecoder(nn.Module):
@@ -166,6 +178,7 @@ class DepthDecoder(nn.Module):
     d_max: float = D_MAX
     n_depth: int = N_DEPTH
     use_input_image_in_skip_connection: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, R, T, x_alpha, R_alpha, T_alpha, train: bool = False):
@@ -173,7 +186,7 @@ class DepthDecoder(nn.Module):
         B, H, W, _ = x.shape
         A = x_alpha.shape[1]
 
-        fe = FeatureExtractor(name="feature_extractor")
+        fe = FeatureExtractor(dtype=self.dtype, name="feature_extractor")
         layer1, conv1 = fe(x, train=train, return_conv1=True)
         layer1_alpha = fe(
             x_alpha.reshape(B * A, H, W, 3), train=train
@@ -181,25 +194,34 @@ class DepthDecoder(nn.Module):
 
         conv_reduce = CostVolumeBuilder(
             height=H, width=W, d_min=self.d_min, d_max=self.d_max,
-            n_depth=self.n_depth, name="cost_volume_builder",
+            n_depth=self.n_depth, dtype=self.dtype,
+            name="cost_volume_builder",
         )(layer1, R, T, layer1_alpha, R_alpha, T_alpha)
 
-        layer2 = ResNetLayer(128, strides=2, name="resnet_layer_2")(conv_reduce, train)
-        layer3 = ResNetLayer(256, strides=2, name="resnet_layer_3")(layer2, train)
-        layer4 = ResNetLayer(512, strides=2, name="resnet_layer_4")(layer3, train)
+        layer2 = ResNetLayer(128, strides=2, dtype=self.dtype,
+                             name="resnet_layer_2")(conv_reduce, train)
+        layer3 = ResNetLayer(256, strides=2, dtype=self.dtype,
+                             name="resnet_layer_3")(layer2, train)
+        layer4 = ResNetLayer(512, strides=2, dtype=self.dtype,
+                             name="resnet_layer_4")(layer3, train)
 
         def size(div):
             return (H // div, W // div + (W % div > 0))
 
-        iconv5 = ExpansionLayer(256, 256, size(16), name="expansion5")(layer4, layer3)
-        iconv4 = ExpansionLayer(128, 128, size(8), name="expansion4")(iconv5, layer2)
+        iconv5 = ExpansionLayer(256, 256, size(16), dtype=self.dtype,
+                                name="expansion5")(layer4, layer3)
+        iconv4 = ExpansionLayer(128, 128, size(8), dtype=self.dtype,
+                                name="expansion4")(iconv5, layer2)
         disp4 = DisparityLayer(name="disp4")(iconv4)
-        iconv3 = ExpansionLayer(64, 64, size(4), name="expansion3")(iconv4, layer1)
+        iconv3 = ExpansionLayer(64, 64, size(4), dtype=self.dtype,
+                                name="expansion3")(iconv4, layer1)
         disp3 = DisparityLayer(name="disp3")(iconv3)
-        iconv2 = ExpansionLayer(32, 32, size(2), name="expansion2")(iconv3, conv1)
+        iconv2 = ExpansionLayer(32, 32, size(2), dtype=self.dtype,
+                                name="expansion2")(iconv3, conv1)
         disp2 = DisparityLayer(name="disp2")(iconv2)
         x_add = x if self.use_input_image_in_skip_connection else None
-        iconv1 = ExpansionLayer(16, 16, (H, W), name="expansion1")(iconv2, x_add)
+        iconv1 = ExpansionLayer(16, 16, (H, W), dtype=self.dtype,
+                                name="expansion1")(iconv2, x_add)
         disp1 = DisparityLayer(name="disp1")(iconv1)
         return disp1, disp2, disp3, disp4
 
@@ -209,6 +231,7 @@ class PoseDecoder(nn.Module):
 
     input_height: int = INPUT_HEIGHT
     input_width: int = INPUT_WIDTH
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, x_alpha, train: bool = False):
@@ -219,21 +242,26 @@ class PoseDecoder(nn.Module):
         ).reshape(B * A, H, W, 6)
 
         y = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
-                    name="biconv1")(pair)
+                    dtype=self.dtype, name="biconv1")(pair)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bn1")(y)
         y = nn.relu(y)
         y = maxpool_3x3_s2(y)
-        y = ResNetLayer(64, name="resnet_layer_1")(y, train)
-        y = ResNetLayer(128, strides=2, name="resnet_layer_2")(y, train)
-        y = ResNetLayer(256, strides=2, name="resnet_layer_3")(y, train)
-        y = ResNetLayer(512, strides=2, name="resnet_layer_4")(y, train)
+        y = ResNetLayer(64, dtype=self.dtype, name="resnet_layer_1")(y, train)
+        y = ResNetLayer(128, strides=2, dtype=self.dtype,
+                        name="resnet_layer_2")(y, train)
+        y = ResNetLayer(256, strides=2, dtype=self.dtype,
+                        name="resnet_layer_3")(y, train)
+        y = ResNetLayer(512, strides=2, dtype=self.dtype,
+                        name="resnet_layer_4")(y, train)
 
-        y = nn.relu(nn.Conv(256, (1, 1), name="pconv0")(y))
-        y = nn.relu(nn.Conv(256, (3, 3), padding=1, name="pconv1")(y))
-        y = nn.relu(nn.Conv(256, (3, 3), padding=1, name="pconv2")(y))
+        y = nn.relu(nn.Conv(256, (1, 1), dtype=self.dtype, name="pconv0")(y))
+        y = nn.relu(nn.Conv(256, (3, 3), padding=1, dtype=self.dtype,
+                            name="pconv1")(y))
+        y = nn.relu(nn.Conv(256, (3, 3), padding=1, dtype=self.dtype,
+                            name="pconv2")(y))
         y = nn.Conv(6, (1, 1), name="pconv3")(y)
-        y = y.reshape(B, A, -1)
+        y = y.reshape(B, A, -1).astype(jnp.float32)
         return nn.Dense(6, name="fc")(y)
 
 
@@ -247,6 +275,10 @@ class ManyDepth(nn.Module):
     n_depth: int = N_DEPTH
     pose_factor: float = POSE_FACTOR
     learn_pose: bool = False
+    # bfloat16 runs every conv on the MXU at half the HBM traffic; geometry
+    # (poses, warp grids, disparity heads) stays f32 (see CostVolumeBuilder /
+    # DisparityLayer). None = full f32 (the parity/unit-test configuration).
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, x_alpha, R, T, gt_pose=None, train: bool = False):
@@ -257,6 +289,7 @@ class ManyDepth(nn.Module):
 
         if self.learn_pose:
             pose = PoseDecoder(self.input_height, self.input_width,
+                               dtype=self.dtype,
                                name="pose_decoder")(x, x_alpha, train=train)
         else:
             if gt_pose is None:
@@ -271,7 +304,7 @@ class ManyDepth(nn.Module):
 
         disps = DepthDecoder(
             self.input_height, self.input_width, self.d_min, self.d_max,
-            self.n_depth, name="depth_decoder",
+            self.n_depth, dtype=self.dtype, name="depth_decoder",
         )(x, R, T, x_alpha, R_alpha, T_alpha, train=train)
         return (pose, *disps)
 

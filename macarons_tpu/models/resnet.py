@@ -17,22 +17,26 @@ from flax import linen as nn
 class BasicBlock(nn.Module):
     features: int
     strides: int = 1
+    # Computation dtype for the convs (params stay f32; BatchNorm stays f32
+    # for stable statistics). bfloat16 = MXU-native mixed precision.
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
         y = nn.Conv(self.features, (3, 3), strides=self.strides, padding=1,
-                    use_bias=False, name="conv1")(x)
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bn1")(y)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
-                    name="conv2")(y)
+                    dtype=self.dtype, name="conv2")(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bn2")(y)
         if residual.shape != y.shape:
             residual = nn.Conv(self.features, (1, 1), strides=self.strides,
-                               use_bias=False, name="downsample_conv")(residual)
+                               use_bias=False, dtype=self.dtype,
+                               name="downsample_conv")(residual)
             residual = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                     epsilon=1e-5, name="downsample_bn")(residual)
         return nn.relu(y + residual)
@@ -43,21 +47,25 @@ class ResNetLayer(nn.Module):
 
     features: int
     strides: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = BasicBlock(self.features, strides=self.strides, name="block0")(x, train)
-        x = BasicBlock(self.features, name="block1")(x, train)
+        x = BasicBlock(self.features, strides=self.strides, dtype=self.dtype,
+                       name="block0")(x, train)
+        x = BasicBlock(self.features, dtype=self.dtype, name="block1")(x, train)
         return x
 
 
 class ResNet18Stem(nn.Module):
     """conv1 + bn1 + relu (pre-maxpool), torchvision layout."""
 
+    dtype: Any = None
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
-                    name="conv1")(x)
+                    dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bn1")(x)
         return nn.relu(x)
@@ -71,11 +79,13 @@ def maxpool_3x3_s2(x):
 class FeatureExtractor(nn.Module):
     """conv1..layer1 of ResNet18 (reference ManyDepth.py:33-50): image -> 64ch @ 1/4."""
 
+    dtype: Any = None
+
     @nn.compact
     def __call__(self, x, train: bool = False, return_conv1: bool = False):
-        conv1 = ResNet18Stem(name="stem")(x, train)
+        conv1 = ResNet18Stem(dtype=self.dtype, name="stem")(x, train)
         y = maxpool_3x3_s2(conv1)
-        y = ResNetLayer(64, name="layer1")(y, train)
+        y = ResNetLayer(64, dtype=self.dtype, name="layer1")(y, train)
         if return_conv1:
             return y, conv1
         return y

@@ -420,13 +420,25 @@ def make_coverage_gain_fn(vis_model, n_harmonics: int = 64, seq_len: int = 2048,
                           min_occ: float = 0.1, use_occ_to_sample: bool = True,
                           max_harmonic_rank: int = 8, use_sigmoid: bool = True,
                           dist_factor_mode: Optional[str] = None,
-                          distance_th: Optional[float] = None):
+                          distance_th: Optional[float] = None,
+                          shared_sample: bool = False):
     """Build the jitted all-candidates NBV scorer.
 
     Returns fn(vis_vars, X_world (N,3), harmonics (N,H), occ (N,1), valid (N,),
                cand_cameras: FoVCamera (batched (C,)), cand_X_world (C, 3),
                prediction_camera, box_diag, cell_resolution, sensor_range, key)
       -> (coverage_gains (C,), vis_info)
+
+    ``shared_sample=True`` draws ONE occupancy-weighted MC sample from the
+    union of candidate FoVs and runs ONE SconeVis forward, scoring every
+    candidate against it via the batched SH visibility integration — the
+    factoring the reference itself uses when it batches all candidate
+    cameras through compute_coverage_gain (reference SconeVis.py:210-252,
+    and the one-launch ShapeNet tester, testers/shapenet.py:150-159). The
+    default ``False`` path reproduces the reference scene loop's
+    camera-dependent sampling exactly (macarons_utils.py:1580-1738): a
+    fresh sample and SconeVis forward per candidate. Measured argmax
+    agreement between the two: data_tools/shared_sample_agreement.py.
     """
 
     def per_candidate(vis_vars, X_world, vh, occ, valid, cam_R, cam_T, cam_fov,
@@ -477,9 +489,10 @@ def make_coverage_gain_fn(vis_model, n_harmonics: int = 64, seq_len: int = 2048,
         return jnp.where(jnp.any(smask), gain, 0.0)
 
     @jax.jit
-    def run(vis_vars, X_world, harmonics, occ, valid, cand_cameras: FoVCamera,
-            cand_X_world, prediction_camera: FoVCamera, box_diag,
-            cell_resolution, sensor_range, key):
+    def run_per_candidate(vis_vars, X_world, harmonics, occ, valid,
+                          cand_cameras: FoVCamera, cand_X_world,
+                          prediction_camera: FoVCamera, box_diag,
+                          cell_resolution, sensor_range, key):
         C = cand_X_world.shape[0]
         keys = jax.random.split(key, C)
         gains = jax.vmap(
@@ -490,4 +503,63 @@ def make_coverage_gain_fn(vis_model, n_harmonics: int = 64, seq_len: int = 2048,
           cand_X_world, keys)
         return gains
 
-    return run
+    @jax.jit
+    def run_shared(vis_vars, X_world, harmonics, occ, valid,
+                   cand_cameras: FoVCamera, cand_X_world,
+                   prediction_camera: FoVCamera, box_diag, cell_resolution,
+                   sensor_range, key):
+        C = cand_X_world.shape[0]
+        # Per-candidate FoV masks over the full field: (C, N)
+        fov_masks = points_in_fov_mask(
+            jnp.broadcast_to(X_world[None], (C, *X_world.shape)),
+            cand_cameras, image_height, image_width, fov_range=sensor_range,
+        ) & valid[None]
+        occ_sel = fov_masks & (occ[None, :, 0] > min_occ)  # (C, N)
+        fov_volumes = jnp.sum(jnp.where(occ_sel, occ[None, :, 0], 0.0),
+                              axis=-1)  # (C,)
+
+        # ONE sample from the union of candidate FoVs
+        union_sel = jnp.any(occ_sel, axis=0)
+        pts4, harm, idx, smask = sample_proxy_points(
+            key, X_world, occ, harmonics, seq_len, min_occ,
+            use_occ_to_sample=use_occ_to_sample, valid_mask=union_sel,
+        )
+        pts_world = pts4[..., :3]
+
+        big = 1e9
+        mx = jnp.max(jnp.where(smask[:, None], pts_world, -big), axis=0)
+        mn = jnp.min(jnp.where(smask[:, None], pts_world, big), axis=0)
+        center_world = (mx + mn) / 2.0
+        center = prediction_camera.world_to_view(center_world[None, None])[0, 0]
+        ptsv = prediction_camera.world_to_view(pts_world[None])[0]
+        ptsn = normalize_points_in_prediction_box(ptsv, center, box_diag)
+        pts4n = jnp.concatenate((ptsn, pts4[..., 3:]), axis=-1)
+
+        X_cam_v = prediction_camera.world_to_view(cand_X_world[None])[0]
+        X_cam_n = normalize_points_in_prediction_box(X_cam_v, center, box_diag)
+
+        # ONE SconeVis forward; visibility of every sampled point from every
+        # candidate in one batched SH integration
+        sh = vis_model.apply(vis_vars, pts4n[None], harm[None],
+                             pts_mask=smask[None])
+        vis = compute_visibilities(
+            pts4n[None], sh[0][None], X_cam_n[None],
+            max_harmonic_rank=max_harmonic_rank, use_sigmoid=use_sigmoid,
+        )[0]  # (C, seq_len)
+
+        # Candidate-specific membership of the shared sample + dist factor
+        samp_in_fov = occ_sel[:, idx] & smask[None]  # (C, seq_len)
+
+        def df_one(Xc, fov):
+            return distance_factor(pts_world, Xc, fov, image_height,
+                                   image_width, cell_resolution,
+                                   mode=dist_factor_mode,
+                                   distance_th=distance_th)
+
+        dfs = jax.vmap(df_one)(cand_X_world, cand_cameras.fov)  # (C, seq_len)
+        w = vis * dfs * samp_in_fov
+        denom = jnp.maximum(jnp.sum(samp_in_fov, axis=-1), 1)
+        gains = jnp.sum(w, axis=-1) / denom * fov_volumes
+        return jnp.where(jnp.any(samp_in_fov, axis=-1), gains, 0.0)
+
+    return run_shared if shared_sample else run_per_candidate

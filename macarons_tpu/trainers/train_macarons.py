@@ -289,6 +289,13 @@ class MacaronsRuntime:
             use_occ_to_sample=params.get("use_occ_to_sample_proxy_points", True),
             use_sigmoid=params.get("use_sigmoid", True),
             dist_factor_mode=params.get("distance_factor_th"),
+            # One shared MC sample + one SconeVis forward for ALL candidates
+            # (~C fewer model forwards per decision). Opt-in: measured argmax
+            # agreement with the reference's per-candidate sampling is high
+            # but below the 99% adoption bar (see
+            # data_tools/shared_sample_agreement.py + ROADMAP), so the
+            # reference-exact path stays the default.
+            shared_sample=params.get("shared_sample_scoring", False),
         )
 
         # Per-module WarmupAdamW with epoch-schedule drops (reference

@@ -217,3 +217,40 @@ def test_resnet_conversion_structure():
                    jnp.ones((1, 32, 32, 3)))
     assert out.shape == (1, 8, 8, 64)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_bf16_compute_dtype():
+    """ManyDepth(dtype=bfloat16): identical f32 param tree (checkpoints
+    interchange), finite disparities close to the f32 path, f32 outputs
+    (disparity heads and geometry never run in bf16)."""
+    import jax
+
+    H, W, D = 64, 96, 8
+    kk = jax.random.split(jax.random.PRNGKey(3), 4)
+    x = jax.random.uniform(kk[0], (1, H, W, 3))
+    xa = jax.random.uniform(kk[1], (1, 2, H, W, 3))
+    R = jnp.eye(3)[None]
+    T = jnp.zeros((1, 3))
+    gt_pose = jnp.zeros((1, 2, 6)).at[:, :, 0].set(0.002)
+
+    dm32 = md.ManyDepth(input_height=H, input_width=W, n_depth=D, d_max=20.0)
+    dm16 = md.ManyDepth(input_height=H, input_width=W, n_depth=D, d_max=20.0,
+                     dtype=jnp.bfloat16)
+    v = jax.jit(dm32.init)(kk[2], x, xa, R, T, gt_pose=gt_pose)
+    # param trees identical: bf16 is computation-only
+    v16 = jax.eval_shape(lambda: dm16.init(kk[2], x, xa, R, T,
+                                           gt_pose=gt_pose))
+    flat32 = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), v)
+    flat16 = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), v16)
+    assert jax.tree_util.tree_structure(flat32) == \
+        jax.tree_util.tree_structure(flat16)
+    assert flat32 == flat16
+
+    out32 = dm32.apply(v, x, xa, R, T, gt_pose=gt_pose)
+    out16 = dm16.apply(v, x, xa, R, T, gt_pose=gt_pose)
+    for o32, o16 in zip(out32[1:], out16[1:]):
+        assert o16.dtype == jnp.float32
+        a32, a16 = np.asarray(o32), np.asarray(o16)
+        assert np.isfinite(a16).all()
+        # sigmoid disparities in (0,1): bf16 conv error stays small
+        assert np.abs(a32 - a16).max() < 0.05, np.abs(a32 - a16).max()

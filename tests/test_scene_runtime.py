@@ -277,3 +277,54 @@ def test_distance_factor_modes():
     df_s = np.asarray(R.distance_factor(pts, X_cam, 60.0, 256, 456, 0.05,
                                         mode="smooth"))
     assert np.all(np.diff(df_s) < 0)
+
+
+def test_shared_sample_scoring(scene_setup):
+    """shared_sample=True: one MC sample + one SconeVis forward scores all
+    candidates (reference SconeVis.py:210-252 factoring). Properties: same
+    shape/positivity as the per-candidate path, zero for a camera that sees
+    nothing, and high rank agreement with the per-candidate scorer on the
+    same field (measured at scale in data_tools/shared_sample_agreement.py)."""
+    _, _, cam, cfg, surface, prox = scene_setup
+    vis_model = SconeVis(pts_embedding_dim=32, n_code=1, n_heads=2)
+    vis_vars = vis_model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 128, 4)), jnp.zeros((1, 128, 64)),
+    )
+    X_world = prox.points
+    harmonics = jnp.zeros((2000, 64))
+    occ = prox.supervision_occ
+    valid = prox.out_of_field[:, 0] < 1
+
+    nbrs = cam.get_neighboring_poses()[:6]
+    poses = cam.pose_space.pose_from_idx(jnp.asarray(nbrs))
+    X_cand = poses[:, :3]
+    R_c, T_c = C.get_camera_RT(X_cand, poses[:, 3:])
+    cand_cams = FoVCamera.create(R_c, T_c, zfar=20.0)
+
+    kw = dict(seq_len=128, image_height=48, image_width=64, min_occ=0.1)
+    score_per = R.make_coverage_gain_fn(vis_model, **kw)
+    score_sh = R.make_coverage_gain_fn(vis_model, shared_sample=True, **kw)
+    args = (vis_vars, X_world, harmonics, occ, valid, cand_cams, X_cand,
+            cam.fov_camera_0)
+    kw2 = dict(box_diag=float(np.linalg.norm([2.4, 2.4, 2.4])),
+               cell_resolution=cfg.resolution, sensor_range=22.0)
+    g_per = np.asarray(score_per(*args, **kw2, key=jax.random.PRNGKey(3)))
+    g_sh = np.asarray(score_sh(*args, **kw2, key=jax.random.PRNGKey(3)))
+    assert g_sh.shape == (6,)
+    assert np.isfinite(g_sh).all() and (g_sh >= 0).all() and g_sh.max() > 0
+
+    # Rank agreement between the two factorings on the same field (fixed
+    # seeds -> deterministic); argmax must match here
+    assert int(np.argmax(g_sh)) == int(np.argmax(g_per))
+
+    # A camera pointing away from the scene scores exactly zero
+    R_away, T_away = look_at_view_transform(eye=jnp.array([[100.0, 0, 0]]),
+                                            at=jnp.array([[200.0, 0, 0]]))
+    away = FoVCamera.create(R_away, T_away, zfar=20.0)
+    g0 = score_sh(
+        vis_vars, X_world, harmonics, occ, valid, away,
+        jnp.array([[100.0, 0, 0]]), cam.fov_camera_0,
+        box_diag=4.0, cell_resolution=cfg.resolution, sensor_range=22.0,
+        key=jax.random.PRNGKey(4),
+    )
+    assert float(np.asarray(g0)[0]) == 0.0
