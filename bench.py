@@ -219,9 +219,10 @@ def stage_scorer():
 def stage_depth():
     from macarons_tpu.models.many_depth import ManyDepth
 
-    # Production dtype on TPU: bf16 convs, f32 geometry/params/disparity
-    # (create_macarons_model default). f32 path covered by unit tests.
-    dm = ManyDepth(dtype=jnp.bfloat16)
+    # f32 arrays (the production default): TPU matmuls already run bf16
+    # passes internally at default precision; explicit bf16 storage hits a
+    # ~465x fallback on the axon runtime (see create_macarons_model).
+    dm = ManyDepth()
     kk = jax.random.split(jax.random.PRNGKey(1), 4)
     x = jax.random.uniform(kk[0], (1, 256, 456, 3))
     xa = jax.random.uniform(kk[1], (1, 2, 256, 456, 3))

@@ -35,15 +35,15 @@ class MacaronsVariables(NamedTuple):
 
 def create_macarons_model(params: Params) -> MacaronsModel:
     """Assemble the three modules from config (reference Macarons.py:232-253)."""
-    # bf16 convs are the TPU production default (geometry/disparity heads stay
-    # f32 inside the module; params stay f32, so checkpoints are unchanged).
-    # CPU runs keep f32 — emulated bf16 is slower there and the unit/parity
-    # suites compare f32. Override with depth_compute_dtype.
+    # depth_compute_dtype="bfloat16" runs every conv in bf16 (geometry /
+    # disparity heads stay f32 inside the module; params stay f32, so
+    # checkpoints are unchanged). Default stays f32: on the tunneled axon
+    # runtime an explicit-bf16 matmul measures 0.2 TFLOP/s vs 72.7 for f32
+    # arrays (a ~465x fallback penalty, measured round 4) — f32 arrays
+    # already use bf16 MXU passes internally at default matmul precision,
+    # so explicit bf16 storage only pays when the runtime supports it.
     depth_dtype = params.get("depth_compute_dtype")
-    if depth_dtype is None:
-        depth_dtype = ("bfloat16" if jax.default_backend() not in ("cpu",)
-                       else None)
-    if depth_dtype in ("none", "float32"):
+    if depth_dtype in (None, "none", "float32"):
         depth_dtype = None
     depth = ManyDepth(
         input_height=params.get("image_height", 256),
