@@ -37,6 +37,39 @@ def child(spec):
         dtype = None
     full = kv.get("full", "0") == "1"
     n_iter = int(kv.get("n", 20))
+    # Drain sleep after the warmup enqueue: must exceed ONE iteration's device
+    # time or the warmup execution leaks into the measured region (the honest
+    # protocol never pulls before the region — a pull flips the process to
+    # sync dispatch).
+    drain_s = float(kv.get("drain", 30))
+
+    if kv.get("calib") == "1":
+        # Session-health probe: known-FLOPs f32 matmul, own child process.
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        n = 8192
+        a = jax.device_put(np.random.default_rng(0).standard_normal(
+            (n, n), dtype=np.float32))
+        f = jax.jit(lambda x, i: x @ (x + i))
+        out = f(a, 0.0)
+        del out
+        time.sleep(drain_s)
+        t0 = time.perf_counter()
+        for i in range(n_iter):
+            out = f(a, float(i))
+        s = jnp.sum(out)
+        np.asarray(s)
+        total = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(s)
+        rtt = time.perf_counter() - t0
+        dt = max(total - rtt, 1e-9) / n_iter
+        print(json.dumps({"spec": spec, "ms": dt * 1e3,
+                          "tflops": 2 * n**3 / dt / 1e12,
+                          "rtt_ms": rtt * 1e3}), flush=True)
+        return
 
     from macarons_tpu.models.scone import SconeOcc
     from macarons_tpu.ops.geometry import FoVCamera, look_at_view_transform
@@ -77,7 +110,7 @@ def child(spec):
 
     out = step(0)
     del out
-    time.sleep(5.0)
+    time.sleep(drain_s)
     t0 = time.perf_counter()
     for i in range(n_iter):
         out = step(i)

@@ -255,8 +255,17 @@ def occupancy_field_impl(occ_model, n_elev: int = 7, n_azim: int = 14,
                 # checkpoint barrier blocks XLA fusion even forward-only.
                 per_cell = jax.checkpoint(per_cell)
 
-            occs = jax.lax.map(per_cell, (pcn, Xn, vh_in, pc_mask),
-                               batch_size=cell_batch)[..., 0]  # (M, K_cell)
+            if cell_batch >= M and not remat:
+                # All cells in ONE model call: the MXU sees real batches
+                # (batch-M attention/GEMMs) instead of a scan of micro
+                # batches. Same math — SconeOcc is batch-parallel and the
+                # deterministic (key=None) subsample is per-item.
+                occs = occ_model.apply(
+                    model_vars, pcn, Xn, vh_in,
+                    pc_mask=pc_mask).astype(jnp.float32)[..., 0]
+            else:
+                occs = jax.lax.map(per_cell, (pcn, Xn, vh_in, pc_mask),
+                                   batch_size=cell_batch)[..., 0]  # (M, K_cell)
             occs = jnp.where(enough[:, None], occs, 0.0)
             masks = masks_in & enough[:, None] & cell_ok[:, None]
             return (c_slots.reshape(-1), occs.reshape(-1),
