@@ -125,7 +125,7 @@ def setup_decision():
     X_cand = cand_cams.camera_center()
 
     field_fn = R.make_occupancy_field_fn(occ_model, cfg, table, max_cells=32,
-                                         cell_batch=2)
+                                         cell_batch=32)
     score = R.make_coverage_gain_fn(vis_model, seq_len=2048)
     box_diag = float(np.linalg.norm(np.asarray(cfg.x_max) - np.asarray(cfg.x_min)))
 
@@ -168,6 +168,7 @@ def setup_decision():
 def stage_decision():
     decision, _, _ = setup_decision()
     dt = _measure(lambda i: decision(jax.random.PRNGKey(20 + i)), 30,
+                  drain_s=20.0,
                   label="decision phase fused (occ field + 30-cand scoring)")
     return {"decision_ms": dt * 1e3}
 
@@ -175,6 +176,7 @@ def stage_decision():
 def stage_decision_full():
     _, _, decision_full = setup_decision()
     dt = _measure(lambda i: decision_full(jax.random.PRNGKey(60 + i)), 20,
+                  drain_s=60.0,
                   label="decision phase FULL-FIELD (all eligible cells)")
     return {"decision_full_ms": dt * 1e3}
 
@@ -182,9 +184,25 @@ def stage_decision_full():
 def stage_decision_seq():
     _, decision_seq, _ = setup_decision()
     dt = _measure(lambda i: decision_seq(jax.random.PRNGKey(40 + i)), 3,
+                  drain_s=90.0,
                   label="decision phase sequential-candidates (reference "
                   "launch structure)")
     return {"decision_seq_ms": dt * 1e3}
+
+
+def stage_calib():
+    """Session-health probe: known-FLOPs f32 matmul. The shared-pool tunnel's
+    throughput varies by >100x between sessions (0.59 vs 72.7 TFLOP/s
+    measured a day apart), so absolute stage timings are only comparable
+    WITHIN a session; the headline's vs_baseline is a same-session structural
+    ratio and stays meaningful regardless."""
+    n = 8192
+    a = jax.device_put(np.random.default_rng(0).standard_normal(
+        (n, n)).astype(np.float32))
+    f = jax.jit(lambda x, i: x @ (x + i))
+    dt = _measure(lambda i: f(a, float(i)), 20, drain_s=10.0,
+                  label="calibration f32 8192^3 matmul")
+    return {"calib_matmul_ms": dt * 1e3, "calib_tflops": 2 * n**3 / dt / 1e12}
 
 
 # --------------------------------------------------------------------------
@@ -349,7 +367,7 @@ def stage_pose():
     for _ in range(n_warm):
         variables, opt_states, losses, key = TM.nbv_loop_step_device(
             rt, scene, dmem, mp, variables, opt_states, key)
-    time.sleep(8.0)
+    time.sleep(45.0)  # must exceed the warm poses' device time (~6 s each)
     t0 = time.perf_counter()
     for _ in range(n_iter):
         variables, opt_states, losses, key = TM.nbv_loop_step_device(
@@ -434,7 +452,7 @@ def _pose_phase_stage(phase):
     else:
         raise ValueError(phase)
 
-    dt = _measure(step, n_iter, drain_s=8.0,
+    dt = _measure(step, n_iter, drain_s=45.0,
                   label=f"pose phase [{phase}]")
     return {f"{phase}_ms": dt * 1e3}
 
@@ -452,6 +470,7 @@ def stage_phase_scone():
 
 
 STAGES = {
+    "calib": stage_calib,
     "decision": stage_decision,
     "decision_full": stage_decision_full,
     "decision_seq": stage_decision_seq,
@@ -510,6 +529,12 @@ def main():
 
     # Orchestrator: one subprocess per measurement; this process never
     # touches a device (the chip is single-tenant).
+    calib = _run_stage_subprocess("calib")
+    if calib is not None:
+        log(f"session calibration: {calib['calib_tflops']:.1f} TFLOP/s f32 "
+            f"matmul (healthy v5e sessions measure ~70; shared-pool sessions "
+            f"vary >100x — absolute timings below are session-relative, the "
+            f"headline vs_baseline ratio is same-session)")
     dec = _run_stage_subprocess("decision")
     dec_full = _run_stage_subprocess("decision_full")
     dec_seq = _run_stage_subprocess("decision_seq")

@@ -93,6 +93,9 @@ def child(stage):
                                     - np.asarray(cfg.x_min)))
 
     n_iter = 20
+    if ":" in stage:
+        stage, n_s = stage.rsplit(":", 1)
+        n_iter = int(n_s)
 
     if stage in ("field_cb2", "field_cb32"):
         field_fn = build_field_fn(2 if stage == "field_cb2" else 32)
@@ -195,6 +198,38 @@ def child(stage):
         def step(i):
             return f(pts, harm, Xc, jax.random.PRNGKey(i))
 
+    elif stage == "sh_integration_pallas":
+        from macarons_tpu.ops.pallas.sh_visibility import (
+            pallas_compute_visibilities,
+        )
+
+        pts = jax.random.normal(jax.random.PRNGKey(1), (2048, 4)) * 0.3
+        harm = jax.random.normal(jax.random.PRNGKey(2), (2048, 64)) * 0.1
+        Xc = jax.random.normal(jax.random.PRNGKey(3), (n_cand, 3)) * 1.5
+
+        @jax.jit
+        def f(pts, harm, Xc, key):
+            return jnp.sum(pallas_compute_visibilities(
+                pts + 0.0 * jax.random.uniform(key, (1,)), harm, Xc))
+
+        def step(i):
+            return f(pts, harm, Xc, jax.random.PRNGKey(i))
+
+    elif stage == "sh_basis":
+        # harmonics_from_directions alone (no einsum): isolates the
+        # closed-form SH evaluation + arctan2 spherical coords
+        from macarons_tpu.ops.harmonics import harmonics_from_directions
+
+        rays = jax.random.normal(jax.random.PRNGKey(1), (1, n_cand, 2048, 3))
+
+        @jax.jit
+        def f(rays, key):
+            return jnp.sum(harmonics_from_directions(
+                rays + 0.0 * jax.random.uniform(key, (1,))))
+
+        def step(i):
+            return f(rays, jax.random.PRNGKey(i))
+
     elif stage == "fov_mask":
         from macarons_tpu.ops.projection import points_in_fov_mask
 
@@ -268,14 +303,18 @@ def child(stage):
     else:
         raise SystemExit(f"unknown stage {stage}")
 
+    # Optional iteration-count override ("stage:N") for linearity checks —
+    # if ms/iter is n-independent the timing is real device time; if total
+    # is n-independent something fixed (undrained warmup, compile) leaked in.
     dt, enq, rtt = _measure(step, n_iter)
-    print(json.dumps({"stage": stage, "ms": dt * 1e3, "enq_ms": enq * 1e3,
-                      "rtt_ms": rtt * 1e3}), flush=True)
+    print(json.dumps({"stage": stage, "n": n_iter, "ms": dt * 1e3,
+                      "enq_ms": enq * 1e3, "rtt_ms": rtt * 1e3}), flush=True)
 
 
 ALL = ["field_cb2", "field_cb32", "scorer30", "scorer_shared",
        "sconeocc_raw", "sconeocc_b32", "svis_fwd", "sh_integration",
-       "fov_mask", "mc_sample", "topk_subsample", "knn"]
+       "sh_integration_pallas", "sh_basis", "fov_mask", "mc_sample",
+       "topk_subsample", "knn"]
 
 
 def main():

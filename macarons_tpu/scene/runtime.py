@@ -255,14 +255,24 @@ def occupancy_field_impl(occ_model, n_elev: int = 7, n_azim: int = 14,
                 # checkpoint barrier blocks XLA fusion even forward-only.
                 per_cell = jax.checkpoint(per_cell)
 
-            if cell_batch >= M and not remat:
+            if cell_batch >= M:
                 # All cells in ONE model call: the MXU sees real batches
                 # (batch-M attention/GEMMs) instead of a scan of micro
                 # batches. Same math — SconeOcc is batch-parallel and the
-                # deterministic (key=None) subsample is per-item.
-                occs = occ_model.apply(
-                    model_vars, pcn, Xn, vh_in,
-                    pc_mask=pc_mask).astype(jnp.float32)[..., 0]
+                # deterministic (key=None) subsample is per-item. Measured
+                # 2.84x vs the mapped path on v5e (same-session A/B).
+                def batched(pcn_b, Xn_b, vh_b, m_b):
+                    return occ_model.apply(
+                        model_vars, pcn_b, Xn_b, vh_b,
+                        pc_mask=m_b).astype(jnp.float32)
+
+                if remat:
+                    # Supervision program: recompute the single forward in
+                    # backward instead of saving batch-M transformer
+                    # intermediates (same memory rationale as the mapped
+                    # path's per-chunk checkpoint below).
+                    batched = jax.checkpoint(batched)
+                occs = batched(pcn, Xn, vh_in, pc_mask)[..., 0]
             else:
                 occs = jax.lax.map(per_cell, (pcn, Xn, vh_in, pc_mask),
                                    batch_size=cell_batch)[..., 0]  # (M, K_cell)

@@ -251,7 +251,13 @@ class MacaronsRuntime:
             degree=params.get("harmonic_degree", 8),
             k_for_knn=params.get("k_for_knn", 16),
             max_cells=params.get("n_cell_per_occ_forward_pass", 12),
-            cell_batch=params.get("occ_cell_batch", 2),
+            # Default cell_batch == max_cells engages the single-call batched
+            # path (one batch-M SconeOcc forward per chunk instead of a
+            # lax.map of micro-batches): measured 2.84x on v5e for the
+            # 32-cell inference field (same-session A/B, bit-exact outputs).
+            cell_batch=params.get(
+                "occ_cell_batch",
+                params.get("n_cell_per_occ_forward_pass", 12)),
             # bf16 is available via occ_compute_dtype but measured slightly
             # SLOWER at reference scale on v5e-1 (0.87 vs 0.61 ms at 32 cells:
             # the transformers are small enough that cast overhead dominates),
@@ -273,7 +279,12 @@ class MacaronsRuntime:
             degree=params.get("harmonic_degree", 8),
             k_for_knn=params.get("k_for_knn", 16),
             max_cells=self.occ_curriculum_max_cells,
-            cell_batch=params.get("occ_cell_batch", 2),
+            # The single-call batched path also works under remat (checkpoint
+            # wraps the one batched forward); opt in by raising this to
+            # >= occ_curriculum_max_cells. Default stays a small micro-batch
+            # until the batched supervision step's HBM peak is measured.
+            cell_batch=params.get("occ_supervision_cell_batch",
+                                  params.get("occ_cell_batch", 2)),
             compute_dtype=params.get("occ_supervision_compute_dtype"),
             # Gradients flow through this program; remat the per-cell chunks
             # so backward recomputes instead of saving every chunk's
@@ -1656,6 +1667,12 @@ def memory_scone_loop(rt: MacaronsRuntime, scene: SceneState, memory: Memory,
     cache: Dict[int, Dict] = {}
 
     def load_stack(nbs):
+        if hasattr(memory, "depth_stack"):
+            # Device-resident memory: ONE jnp.take launch for the whole
+            # window instead of n_sup single-frame slices + a concatenate
+            # per array (each its own device launch).
+            d = memory.depth_stack(memory_path, traj, nbs)
+            return (d["depth"], d["mask"], d["error_mask"], d["R"], d["T"])
         for nb in nbs:
             if nb not in cache:
                 cache[nb] = memory.load_depth(memory_path, nb, traj)

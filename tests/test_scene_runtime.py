@@ -328,3 +328,40 @@ def test_shared_sample_scoring(scene_setup):
         key=jax.random.PRNGKey(4),
     )
     assert float(np.asarray(g0)[0]) == 0.0
+
+
+def test_supervision_batched_path_grads(scene_setup):
+    """The single-call batched path is also valid under remat (supervision):
+    forward AND gradients match the mapped micro-batch path exactly."""
+    _, _, cam, cfg, surface, prox = scene_setup
+    occ_model = SconeOcc(seq_len=256, n_scale=3, k_for_knn=8,
+                         pts_embedding_dim=32, global_feature_dim=64,
+                         local_feature_dim=32, x_embedding_dim=64, n_code=1,
+                         n_heads=2)
+    table = R.build_cell_index_table(cfg, np.asarray(prox.points))
+    tables = R.device_cell_tables(cfg, table)
+    occ_vars = occ_model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 3)), jnp.zeros((1, 8, 3)),
+        jnp.zeros((1, 8, 64)))
+
+    run_map = R.occupancy_field_impl(occ_model, k_for_knn=8, max_cells=8,
+                                     cell_batch=2, remat=True)
+    run_bat = R.occupancy_field_impl(occ_model, k_for_knn=8, max_cells=8,
+                                     cell_batch=8, remat=True)
+    key = jax.random.PRNGKey(3)
+
+    def loss(run):
+        def f(v):
+            proba, mask, _ = run(v, prox, surface, tables, cam.fov_camera_0,
+                                 key, supervision=True)
+            return jnp.sum(proba * mask[:, None])
+        return f
+
+    l_map, g_map = jax.value_and_grad(loss(run_map))(occ_vars)
+    l_bat, g_bat = jax.value_and_grad(loss(run_bat))(occ_vars)
+    np.testing.assert_allclose(float(l_map), float(l_bat), rtol=1e-6)
+    flat_map = jax.tree_util.tree_leaves(g_map)
+    flat_bat = jax.tree_util.tree_leaves(g_bat)
+    for a, b in zip(flat_map, flat_bat):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5,
+                                   rtol=1e-4)
