@@ -535,9 +535,21 @@ def main():
             f"matmul (healthy v5e sessions measure ~70; shared-pool sessions "
             f"vary >100x — absolute timings below are session-relative, the "
             f"headline vs_baseline ratio is same-session)")
-    dec = _run_stage_subprocess("decision")
+    # The headline pair runs FIRST and adjacently: pool throughput declines
+    # with cumulative use, so the fused/sequential ratio must come from
+    # neighboring time windows. A second full-field run brackets the
+    # sequential stage; the mean of the brackets is the ratio denominator.
     dec_full = _run_stage_subprocess("decision_full")
     dec_seq = _run_stage_subprocess("decision_seq")
+    dec_full2 = _run_stage_subprocess("decision_full")
+    if dec_full is not None and dec_full2 is not None:
+        drift = dec_full2["decision_full_ms"] / dec_full["decision_full_ms"]
+        log(f"full-field bracket drift: x{drift:.2f} "
+            f"({dec_full['decision_full_ms']:.0f} -> "
+            f"{dec_full2['decision_full_ms']:.0f} ms)")
+        dec_full = {"decision_full_ms": 0.5 * (
+            dec_full["decision_full_ms"] + dec_full2["decision_full_ms"])}
+    dec = _run_stage_subprocess("decision")
     _run_stage_subprocess("scorer")
     _run_stage_subprocess("depth")
     pose = _run_stage_subprocess("pose")

@@ -198,6 +198,26 @@ def child(stage):
         def step(i):
             return f(pts, harm, Xc, jax.random.PRNGKey(i))
 
+    elif stage == "sh_integration_acc":
+        # Fused term-by-term accumulation (ops.harmonics.sh_weighted_sum):
+        # no (C, L, 64) basis tensor, no batched-matvec dot_general
+        from macarons_tpu.ops.harmonics import sh_weighted_sum
+
+        pts = jax.random.normal(jax.random.PRNGKey(1), (1, 2048, 4)) * 0.3
+        harm = jax.random.normal(jax.random.PRNGKey(2), (1, 2048, 64)) * 0.1
+        Xc = jax.random.normal(jax.random.PRNGKey(3), (1, n_cand, 3)) * 1.5
+
+        @jax.jit
+        def f(pts, harm, Xc, key):
+            rays = Xc[:, :, None, :] - (
+                pts[..., :3] + 0.0 * jax.random.uniform(key, (1,))
+            )[:, None, :, :]  # (B, C, L, 3)
+            z = sh_weighted_sum(rays, harm[:, None])
+            return jnp.sum(jax.nn.sigmoid(z))
+
+        def step(i):
+            return f(pts, harm, Xc, jax.random.PRNGKey(i))
+
     elif stage == "sh_integration_pallas":
         from macarons_tpu.ops.pallas.sh_visibility import (
             pallas_compute_visibilities,

@@ -146,3 +146,58 @@ def evaluate_from_harmonic_coordinates(coordinates, theta, phi, degree: int):
     """sum_k coords_k Y_k(theta, phi) — reference spherical_harmonics.py:159-175."""
     z = real_spherical_harmonics(theta, phi, degree=degree)
     return jnp.sum(coordinates * z, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("degree",))
+def sh_weighted_sum(rays, coeffs, degree: int = 8):
+    """sum_k coeffs[..., k] * Y_k(dir(rays)) WITHOUT materializing the basis.
+
+    rays (..., 3); coeffs broadcastable to rays[..., 0].shape + (degree**2,)
+    after removing the last axis — e.g. rays (B, C, L, 3) with coeffs
+    (B, 1, L, K). Numerically equivalent to
+    `einsum('...k,...k', coeffs, harmonics_from_directions(rays))` but the
+    64 basis terms are generated and consumed term-by-term in ONE fused
+    elementwise program: no (.., C, L, 64) HBM tensor and no batched-matvec
+    dot_general (which XLA lowers poorly for this contraction shape).
+    Same math as the Pallas kernel (ops/pallas/sh_visibility.py), usable on
+    any backend and under grad.
+    """
+    rays = jnp.asarray(rays)
+    x = rays[..., 0]
+    y = rays[..., 1]
+    z = rays[..., 2]
+    r2 = x * x + y * y + z * z
+    inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-20))
+    # Angle conventions of harmonics_from_directions (reference
+    # SconeVis.py:192-193): cos(theta) = y/r; phi = azim with
+    # cos(phi) = z/(r sin theta), sin(phi) = x/(r sin theta).
+    ct = jnp.clip(y * inv_r, -1.0, 1.0)
+    st = jnp.sqrt(jnp.maximum(1.0 - ct * ct, 0.0))
+    inv_rst = inv_r / jnp.maximum(st, 1e-10)
+    cphi = jnp.clip(z * inv_rst, -1.0, 1.0)
+    sphi = jnp.clip(x * inv_rst, -1.0, 1.0)
+
+    P = _assoc_legendre_all(ct, st, degree)
+    cos_m = {0: jnp.ones_like(cphi), 1: cphi}
+    sin_m = {0: jnp.zeros_like(sphi), 1: sphi}
+    for m in range(2, degree):
+        # Chebyshev recurrence: no transcendentals beyond the rsqrt above
+        cos_m[m] = cphi * cos_m[m - 1] - sphi * sin_m[m - 1]
+        sin_m[m] = sphi * cos_m[m - 1] + cphi * sin_m[m - 1]
+
+    acc = jnp.zeros_like(ct)
+    k = 0
+    for l in range(degree):
+        N = math.sqrt((2 * l + 1) / (4 * math.pi))
+        for m in range(-l, l + 1):
+            m_abs = abs(m)
+            if m == 0:
+                Y = N * P[(l, 0)]
+            else:
+                ratio = math.sqrt(2.0 * math.factorial(l - m_abs)
+                                  / math.factorial(l + m_abs))
+                ang = cos_m[m_abs] if m > 0 else sin_m[m_abs]
+                Y = (N * ratio) * ang * P[(l, m_abs)]
+            acc = acc + coeffs[..., k] * Y
+            k += 1
+    return acc
