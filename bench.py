@@ -324,6 +324,13 @@ def setup_pose(n_iter=20, n_warm=2):
         n_proxy_point_for_occupancy_supervision=6000,
         data_path=tmp, load_obj_textures=False,
     ))
+    # A/B hook: stage children inherit the orchestrator's env, so a sweep can
+    # override any trainer param (e.g. occ_supervision_cell_batch) without
+    # touching this file. Same-session adjacent-window runs only — absolute
+    # timings are meaningless across sessions (see CRITICAL facts, ROADMAP).
+    for k, v in json.loads(
+            os.environ.get("MACARONS_BENCH_PARAMS", "{}")).items():
+        params[k] = v
     dataset = SceneDataset(tmp)
     model = create_macarons_model(params)
     key = jax.random.PRNGKey(0)
@@ -554,10 +561,14 @@ def main():
     _run_stage_subprocess("depth")
     pose = _run_stage_subprocess("pose")
     budget = {}
-    for ph in ("phase_dmc", "phase_depth", "phase_scone"):
-        r = _run_stage_subprocess(ph)
-        if r:
-            budget.update(r)
+    # The per-phase budget triples the bench wall-clock (each phase compiles
+    # the full pose program); it is opt-in — the measured split lives in
+    # ROADMAP ("Pose-loop device-time budget").
+    if os.environ.get("MACARONS_BENCH_BUDGET"):
+        for ph in ("phase_dmc", "phase_depth", "phase_scone"):
+            r = _run_stage_subprocess(ph)
+            if r:
+                budget.update(r)
     if budget and pose is not None:
         tracked = sum(budget.values())
         log("pose device-time budget: "

@@ -149,6 +149,45 @@ def child(part):
                  "contraction layers 2-4")
         return
 
+    if part in ("dec_tail", "dec_tail32"):
+        # The decoder TAIL: expansion2 (32ch @ H/2) + disp2 + expansion1
+        # (16ch @ full 256x456) + disp1. Hypothesis: tiny channel counts at
+        # full resolution dominate the forward (lane padding / layout).
+        # dec_tail32 stops after disp2 to split the two scales.
+        import flax.linen as nn
+
+        from macarons_tpu.models.many_depth import (
+            DisparityLayer, ExpansionLayer,
+        )
+
+        iconv3 = jax.random.uniform(kk[5], (1, FH, FW, 64))
+        conv1 = jax.random.uniform(kk[6], (1, H // 2, W // 2, 64))
+        tail32 = part == "dec_tail32"
+
+        class Tail(nn.Module):
+            @nn.compact
+            def __call__(self, y, conv1, x):
+                y = ExpansionLayer(32, 32, (H // 2, W // 2),
+                                   name="expansion2")(y, conv1)
+                d2 = DisparityLayer(name="disp2")(y)
+                if tail32:
+                    return d2
+                y = ExpansionLayer(16, 16, (H, W), name="expansion1")(y, x)
+                return DisparityLayer(name="disp1")(y), d2
+
+        m = Tail()
+        mv = jax.jit(m.init)(kk[7], iconv3, conv1, x)
+
+        @jax.jit
+        def f(v, y, key):
+            return m.apply(v, y + 0.0 * jax.random.uniform(key, (1,)),
+                           conv1, x)
+
+        _measure(lambda i: f(mv, iconv3, jax.random.PRNGKey(i)), N_ITER,
+                 "decoder tail (32ch@H/2 + 16ch@full)" if not tail32
+                 else "decoder tail32 (32ch@H/2 only)")
+        return
+
     if part == "decoder":
         dd = DepthDecoder(input_height=H, input_width=W)
         dvars = jax.jit(dd.init)(kk[6], x, R, T, xa, Ra, Ta)

@@ -19,17 +19,20 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# Persistent compilation cache: the suite's cost is dominated by XLA CPU
-# compiles of the trainer programs; repeated runs hit the cache. Keyed by a
-# test-specific dir so AOT entries never leak to/from production runs.
-_cache = os.environ.get(
-    "MACARONS_TEST_CACHE_DIR",
-    os.path.join(os.path.expanduser("~"), ".cache", "macarons_tpu_test_jax"))
-try:
-    jax.config.update("jax_compilation_cache_dir", _cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
+# Persistent compilation cache: OPT-IN via MACARONS_TEST_CACHE_DIR. Deserializing
+# the cached online-trainer executable (decide_move_capture, the program with the
+# Pallas tile rasterizer) SEGFAULTS on the CPU backend — reproduced twice with a
+# freshly wiped cache dir, crash in compilation_cache.get_executable_and_time when
+# a later test re-reads an entry written earlier in the same run. Until that
+# deserialization bug is fixed upstream, default runs compile from scratch; use
+# `pytest -m "not slow"` for the fast tier (see pytest_configure below).
+_cache = os.environ.get("MACARONS_TEST_CACHE_DIR")
+if _cache:
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert jax.device_count() == 8, jax.device_count()
@@ -43,6 +46,15 @@ def pytest_configure(config):
         "markers",
         "heavy: multi-minute integration run; skipped unless "
         "MACARONS_RUN_HEAVY=1 (fast equivalents keep default coverage)")
+    config.addinivalue_line(
+        "markers",
+        "slow: dominated by XLA CPU compile of trainer/tester programs; "
+        "excluded from the smoke tier (`pytest -m \"not slow\"`). The smoke "
+        "tier keeps op/parity/scene-state coverage plus an 8-device mesh DP "
+        "train step (test_smoke.py); the full online-pose program alone "
+        "costs >6 min of XLA CPU compile on this 1-core container "
+        "(~0.9 s per compile, measured), so trainer/tester integration "
+        "lives in the slow tier")
 
 
 def pytest_collection_modifyitems(config, items):

@@ -33,6 +33,8 @@ from macarons_tpu.ops.projection import (  # noqa: E402
 from macarons_tpu.scene import proxy as P  # noqa: E402
 from macarons_tpu.scene import runtime as R  # noqa: E402
 
+pytestmark = pytest.mark.slow  # XLA CPU compile dominates; excluded from the smoke tier
+
 H, W, FOV, ZFAR = 32, 48, 60.0, 20.0
 N_ELEV, N_AZIM, DEG = 7, 14, 8
 SENSOR_RANGE = 10.0

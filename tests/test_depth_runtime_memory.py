@@ -12,6 +12,8 @@ from macarons_tpu.scene import camera as C
 from macarons_tpu.ops import geometry as geo
 from test_rasterizer import cube_mesh
 
+pytestmark = pytest.mark.slow  # XLA CPU compile dominates; excluded from the smoke tier
+
 H, W = 64, 96
 CFG = DR.DepthBatchConfig(znear=0.5, zfar=20.0, data_augmentation=False,
                           regularity_factor=0.01)

@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 from scipy.special import sph_harm_y
 
 from macarons_tpu.ops.harmonics import (
@@ -76,6 +77,7 @@ def test_jit_grad_safe():
     assert np.all(np.isfinite(np.asarray(g)))
 
 
+@pytest.mark.slow  # compiles both SH formulations + grad (~8 s on CPU)
 def test_sh_weighted_sum_matches_materialized():
     """sh_weighted_sum == einsum over the materialized basis (identical math,
     different accumulation; verified to 5.7e-13 in f64 — in f32 the

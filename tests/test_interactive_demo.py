@@ -9,6 +9,10 @@ import numpy as np
 
 from macarons_tpu.config import Params
 from test_train_macarons import TINY, scene_dir  # noqa: F401
+import pytest
+
+
+pytestmark = pytest.mark.slow  # XLA CPU compile dominates; excluded from the smoke tier
 
 
 def test_demo_session_step(scene_dir, tmp_path):

@@ -10,6 +10,8 @@ from macarons_tpu.models import depth_losses as dl
 from macarons_tpu.ops import geometry as geo
 from macarons_tpu.ops import rasterizer as ras
 
+pytestmark = pytest.mark.slow  # XLA CPU compile dominates; excluded from the smoke tier
+
 H, W = 64, 96
 
 

@@ -29,6 +29,7 @@ def small_occ():
     return model, params, pc, x, vh
 
 
+@pytest.mark.slow  # module fixture compiles the full SconeOcc
 def test_scone_occ_shapes(small_occ):
     model, params, pc, x, vh = small_occ
     out = model.apply(params, pc, x, vh, key=jax.random.PRNGKey(4))
@@ -36,6 +37,7 @@ def test_scone_occ_shapes(small_occ):
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+@pytest.mark.slow  # uses the SconeOcc fixture
 def test_scone_occ_deterministic_without_key(small_occ):
     model, params, pc, x, vh = small_occ
     o1 = model.apply(params, pc, x, vh)
@@ -43,6 +45,7 @@ def test_scone_occ_deterministic_without_key(small_occ):
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
 
 
+@pytest.mark.slow  # jit+grad compile of the full SconeOcc
 def test_scone_occ_jit_grad(small_occ):
     model, params, pc, x, vh = small_occ
 
@@ -56,6 +59,7 @@ def test_scone_occ_jit_grad(small_occ):
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
 
 
+@pytest.mark.slow  # compiles the full SconeVis
 def test_scone_vis_shapes():
     model = SconeVis(pts_embedding_dim=64, n_code=1, n_heads=2)
     pts = jax.random.normal(jax.random.PRNGKey(0), (2, 100, 4))
@@ -65,6 +69,7 @@ def test_scone_vis_shapes():
     assert out.shape == (2, 100, 64)
 
 
+@pytest.mark.slow  # compiles two full PcTransformer variants (~10 s on CPU)
 def test_pctransformer_mask_invariance(rng):
     """Padding points must not change the pooled feature when masked out."""
     model = PCTransformer(pts_embedding_dim=32, feature_dim=64, n_code=1, n_heads=2)

@@ -6,6 +6,8 @@ import pytest
 from macarons_tpu.config import Params
 from macarons_tpu.trainers import pretrain_depth as PD
 
+pytestmark = pytest.mark.slow  # XLA CPU compile dominates; excluded from the smoke tier
+
 
 @pytest.fixture(scope="module")
 def frames_dir(tmp_path_factory):

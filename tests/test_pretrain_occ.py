@@ -14,6 +14,8 @@ from macarons_tpu.data import shapenet as sng
 from macarons_tpu.trainers import pretrain_occ
 from test_rasterizer import cube_mesh
 
+pytestmark = pytest.mark.slow  # XLA CPU compile dominates; excluded from the smoke tier
+
 
 SMALL = dict(
     seq_len=32, n_sample=24, n_view_min=1, n_view_max=2,

@@ -10,6 +10,8 @@ from macarons_tpu.trainers import pretrain_occ, pretrain_vis
 from macarons_tpu.data import datasets as D
 from test_pretrain_occ import SMALL
 
+pytestmark = pytest.mark.slow  # XLA CPU compile dominates; excluded from the smoke tier
+
 VIS_SMALL = dict(
     SMALL,
     n_proxy_points=256, min_occ_for_proxy_points=0.0,

@@ -9,6 +9,8 @@ from macarons_tpu.ops import geometry as geo
 from macarons_tpu.ops import rasterizer as ras
 from test_rasterizer import cube_mesh, _cam
 
+pytestmark = pytest.mark.slow  # XLA CPU compile dominates; excluded from the smoke tier
+
 
 def random_mesh(rng, n_faces=400, extent=1.5):
     verts = jnp.array(rng.uniform(-extent, extent, (n_faces * 3, 3)),

@@ -152,6 +152,7 @@ def test_camera_collision():
                                       n_interpolation_steps=8))
 
 
+@pytest.mark.slow  # compiles the device retry while_loop twice (~20 s on CPU)
 def test_episode_random_start_retries_and_degenerate(pose_space):
     """episode_random_start must not silently start at an invalid pose: rare
     valid poses are found by the device retry loop, and a fully degenerate

@@ -1,6 +1,7 @@
 """Scene data generation: settings heuristics + occupied-pose detection."""
 
 import numpy as np
+import pytest
 
 from macarons_tpu.data.mesh_io import Mesh
 from macarons_tpu.data.scenes import (
@@ -19,6 +20,7 @@ def test_compute_scene_settings_dims():
     assert len(s["camera"]["start_positions"]) == 0
 
 
+@pytest.mark.slow  # compiles the backface-cull rasterizer (~5 s on CPU)
 def test_occupied_poses_backface_cull():
     """Camera inside a closed mesh sees only backfaces -> culling empties the
     view -> occupied (reference generate_scene_data.py:246-285). Far-outside

@@ -107,6 +107,7 @@ def test_coverage_gain_counts_new_points(cfg):
     assert int(gain2) == 0
 
 
+@pytest.mark.slow  # compiles the windowed coverage-gain program (~5 s on CPU)
 def test_window_coverage_gains(cfg):
     """Reference supervision-gain semantics (train_macarons.py:449-470):
     window points pre-inserted with frame0=covered / rest=uncovered; each

@@ -16,6 +16,8 @@ from macarons_tpu.scene import camera as C, grid as G, proxy as P
 from macarons_tpu.scene import runtime as R
 from test_rasterizer import cube_mesh
 
+pytestmark = pytest.mark.slow  # XLA CPU compile dominates; excluded from the smoke tier
+
 
 @pytest.fixture(scope="module")
 def scene_setup():

@@ -9,6 +9,8 @@ import pytest
 from macarons_tpu.data import shapenet as sng
 from test_rasterizer import cube_mesh
 
+pytestmark = pytest.mark.slow  # XLA CPU compile dominates; excluded from the smoke tier
+
 
 @pytest.fixture(scope="module")
 def small_cfg():

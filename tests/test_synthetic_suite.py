@@ -8,6 +8,10 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "data_tools"))
 
 import synthetic_suite as S  # noqa: E402
+import pytest
+
+
+pytestmark = pytest.mark.slow  # XLA CPU compile dominates; excluded from the smoke tier
 
 
 def test_scene_generation_deterministic(tmp_path):

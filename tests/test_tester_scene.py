@@ -10,6 +10,8 @@ from macarons_tpu.config import Params
 from macarons_tpu.testers import scene as tester
 from test_train_macarons import TINY, scene_dir  # noqa: F401
 
+pytestmark = pytest.mark.slow  # XLA CPU compile dominates; excluded from the smoke tier
+
 
 def test_scene_exploration(scene_dir, tmp_path):  # noqa: F811
     params = Params(dict(TINY, data_path=scene_dir, test_resolution=0.04,

@@ -8,6 +8,8 @@ from macarons_tpu.config import Params
 from test_pretrain_occ import SMALL
 from test_pretrain_vis import VIS_SMALL
 
+pytestmark = pytest.mark.slow  # XLA CPU compile dominates; excluded from the smoke tier
+
 
 TEST_PARAMS = dict(
     VIS_SMALL, n_view_max=4, pc_size=24, max_points_per_scone_occ_pass=100000,

@@ -26,6 +26,8 @@ from macarons_tpu.ops.projection import (  # noqa: E402
     signed_distance_to_depth_maps,
 )
 
+pytestmark = pytest.mark.slow  # XLA CPU compile dominates; excluded from the smoke tier
+
 
 def _rand(shape, seed=0, lo=-1.0, hi=1.0):
     rs = np.random.default_rng(seed)

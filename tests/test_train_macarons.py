@@ -13,6 +13,8 @@ from macarons_tpu.data.mesh_io import Mesh, save_obj
 from macarons_tpu.trainers import train_macarons as TM
 from test_rasterizer import cube_mesh
 
+pytestmark = pytest.mark.slow  # XLA CPU compile dominates; excluded from the smoke tier
+
 TINY = dict(
     image_height=48, image_width=64, znear=0.5, zfar=20.0, n_depth=8,
     n_alpha=2, n_alpha_for_supervision=2, alphas=[-2, -1],

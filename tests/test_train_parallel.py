@@ -14,6 +14,8 @@ from macarons_tpu.trainers import train_macarons as TM
 from test_rasterizer import cube_mesh
 from test_train_macarons import TINY
 
+pytestmark = pytest.mark.slow  # XLA CPU compile dominates; excluded from the smoke tier
+
 
 @pytest.fixture(scope="module")
 def two_scene_dir(tmp_path_factory):
