@@ -36,6 +36,7 @@ def child(spec):
     if dtype == "none":
         dtype = None
     full = kv.get("full", "0") == "1"
+    ffc = int(kv.get("ffc", 0)) or None  # full-field while_loop chunk size
     n_iter = int(kv.get("n", 20))
     # Drain sleep after the warmup enqueue: must exceed ONE iteration's device
     # time or the warmup execution leaks into the measured region (the honest
@@ -100,7 +101,8 @@ def child(spec):
     cam = FoVCamera.create(Rm, Tm, zfar=50.0)
     field_fn = R.make_occupancy_field_fn(occ_model, cfg, table, max_cells=32,
                                          cell_batch=cell_batch,
-                                         compute_dtype=dtype)
+                                         compute_dtype=dtype,
+                                         full_field_chunk=ffc)
 
     def step(i):
         proba, mask, harm = field_fn(occ_vars, prox, surface, cam,

@@ -34,6 +34,11 @@ def main():
     ap.add_argument("--platform", default="cpu")
     ap.add_argument("--bench", action="store_true",
                     help="also time both paths (use on the real chip)")
+    ap.add_argument("--weights", default=None,
+                    help="macarons checkpoint (save_macarons layout, path "
+                    "without .msgpack); loads its SconeVis params so the "
+                    "agreement is measured at TRAINED weights instead of "
+                    "model.init noise (VERDICT r4 weak #4)")
     args = ap.parse_args()
 
     os.environ.setdefault("MACARONS_PLATFORM", args.platform)
@@ -53,6 +58,14 @@ def main():
     key = jax.random.PRNGKey(0)
     vis_vars = vis_model.init(key, jnp.zeros((1, 128, 4)),
                               jnp.zeros((1, 128, 64)))
+    weights_kind = "random_init"
+    if args.weights:
+        from flax import serialization
+
+        with open(args.weights + ".msgpack", "rb") as f:
+            raw = serialization.msgpack_restore(f.read())
+        vis_vars = serialization.from_state_dict(vis_vars, raw["vis"])
+        weights_kind = args.weights
 
     per_fn = R.make_coverage_gain_fn(vis_model, seq_len=L)
     sh_fn = R.make_coverage_gain_fn(vis_model, seq_len=L, shared_sample=True)
@@ -107,6 +120,7 @@ def main():
 
     out = {
         "trials": args.trials, "seq_len": L, "n_pts": N, "n_cand": C,
+        "weights": weights_kind,
         "argmax_agreement": agree / args.trials,
         "top3_agreement": top3 / args.trials,
         "mean_rank_corr": float(np.mean(rank_corrs)),

@@ -135,8 +135,13 @@ def generate_suite(root: str, n_scenes: int = N_SCENES):
             "camera": {"x_min": [-6.5, 0.5, -6.5], "x_max": [6.5, 6.5, 6.5],
                        "pose_l": 5, "pose_w": 4, "pose_h": 5,
                        "pose_n_elev": 5, "pose_n_azim": 8,
-                       # fixed start pose => deterministic trajectories
-                       "start_positions": [[0, 2, 0, 1, 0], [4, 1, 4, 1, 4]]},
+                       # fixed start poses => deterministic trajectories.
+                       # 5 starts (the reference protocol's count,
+                       # configs/test/test_in_default_scenes_config.json);
+                       # corner/top positions sit outside the structure zone.
+                       "start_positions": [[0, 2, 0, 1, 0], [4, 1, 4, 1, 4],
+                                           [2, 3, 2, 1, 2], [0, 1, 4, 1, 6],
+                                           [4, 2, 0, 2, 3]]},
             "contrast_factor": 1.0,
         }
         with open(os.path.join(d, "settings.json"), "w") as f:
@@ -164,54 +169,115 @@ def eval_params(root: str, n_proxy: int = 20000) -> dict:
     )
 
 
-def run_suite_eval(root: str, out_json: str = "RESULTS_synthetic.json",
-                   n_poses: int = 30, n_start_poses: int = 2,
-                   max_scenes=None, verbose: bool = True):
-    from macarons_tpu.config import Params
-    from macarons_tpu.testers.scene import run_test
-
-    params = Params(eval_params(root))
-    results = run_test(
-        params, data_path=root, results_dir=os.path.dirname(out_json) or ".",
-        results_name=os.path.basename(out_json), n_start_poses=n_start_poses,
-        n_poses=n_poses, max_scenes=max_scenes, verbose=verbose,
-        memory_root=os.path.join(root, "_eval_memory"))
-    # Summary: mean final coverage + AUC in the BASELINE.md sense
+def _traj_summary(results: dict, n_poses: int) -> dict:
+    """Mean final coverage + AUC in the BASELINE.md sense."""
     finals, aucs = [], []
     for scene, starts in results.items():
         for s, traj in starts.items():
             cov = traj["coverage"]
             finals.append(cov[-1])
             aucs.append(float(np.mean(cov)))
-    summary = {"mean_final_coverage": float(np.mean(finals)),
-               "mean_auc": float(np.mean(aucs)),
-               "n_scenes": len(results), "n_poses": n_poses}
-    with open(out_json) as f:
-        data = json.load(f)
-    data["_summary"] = summary
+    return {"mean_final_coverage": float(np.mean(finals)),
+            "mean_auc": float(np.mean(aucs)),
+            "n_scenes": len(results), "n_poses": n_poses}
+
+
+def run_suite_eval(root: str, out_json: str = "RESULTS_synthetic.json",
+                   n_poses: int = 30, n_start_poses: int = 2,
+                   max_scenes=None, policies=("nbv",), verbose: bool = True):
+    """Evaluate one or more policies on IDENTICAL scenes/seeds and write one
+    combined results file. The "random" / "carving" baselines exist to turn
+    the quality trend into a measured LIFT: the learned NBV policy must beat
+    a random-valid-neighbor walk and a pure carving heuristic on the same
+    suite (the reference's published trajectories in results/
+    scene_exploration/ serve this demonstrative purpose)."""
+    from macarons_tpu.config import Params
+    from macarons_tpu.testers.scene import run_test
+
+    out_dir = os.path.dirname(out_json) or "."
+    per_policy, summaries = {}, {}
+    for policy in policies:
+        params = Params(eval_params(root))
+        results = run_test(
+            params, data_path=root, results_dir=out_dir,
+            results_name=f"_tmp_{policy}_{os.path.basename(out_json)}",
+            n_start_poses=n_start_poses, n_poses=n_poses,
+            max_scenes=max_scenes, policy=policy, verbose=verbose,
+            memory_root=os.path.join(root, f"_eval_memory_{policy}"))
+        per_policy[policy] = results
+        summaries[policy] = _traj_summary(results, n_poses)
+        os.remove(os.path.join(
+            out_dir, f"_tmp_{policy}_{os.path.basename(out_json)}"))
+        if verbose:
+            print(f"policy {policy}:", json.dumps(summaries[policy]))
+
+    # Published-format trajectories for the PRIMARY policy (nbv) at the top
+    # level (keeps the file shape of previous rounds); baselines + lift below.
+    primary = "nbv" if "nbv" in per_policy else list(per_policy)[0]
+    data = dict(per_policy[primary])
+    data["_summary"] = summaries[primary]
+    if len(per_policy) > 1:
+        data["_baselines"] = {p: per_policy[p] for p in per_policy
+                              if p != primary}
+        data["_baseline_summaries"] = {p: s for p, s in summaries.items()
+                                       if p != primary}
+        lift = {}
+        for p, s in summaries.items():
+            if p == primary:
+                continue
+            lift[f"auc_vs_{p}_pct"] = round(
+                100.0 * (summaries[primary]["mean_auc"] / s["mean_auc"] - 1),
+                2)
+            lift[f"final_vs_{p}_pct"] = round(
+                100.0 * (summaries[primary]["mean_final_coverage"]
+                         / s["mean_final_coverage"] - 1), 2)
+        data["_lift"] = lift
+        if verbose:
+            print("lift:", json.dumps(lift))
+    data["_protocol"] = {"n_poses": n_poses, "n_start_poses": n_start_poses,
+                         "policies": list(per_policy)}
     with open(out_json, "w") as f:
         json.dump(data, f, indent=1)
     if verbose:
-        print("synthetic suite summary:", json.dumps(summary))
-    return summary
+        print("synthetic suite summary:", json.dumps(summaries[primary]))
+    return summaries
 
 
 if __name__ == "__main__":
+    from macarons_tpu.utils.platform import configure_platform
+
+    # Default CPU: the quality trend must be cross-round comparable, and the
+    # shared-pool TPU sessions vary >100x (ROADMAP). MACARONS_PLATFORM
+    # overrides (the sitecustomize's jax.config force wins over JAX_PLATFORMS,
+    # so the env var alone is not enough).
+    os.environ.setdefault("MACARONS_PLATFORM", "cpu")
+    configure_platform()
     cmd = sys.argv[1] if len(sys.argv) > 1 else "generate"
     root = sys.argv[2] if len(sys.argv) > 2 else "data/synthetic_scenes"
     if cmd == "generate":
         generate_suite(root)
         print(f"wrote {N_SCENES} scenes under {root}")
-    elif cmd == "eval":
+    elif cmd in ("eval", "eval-all"):
         poses = 30
         scenes = None
+        starts = 2
+        out = "RESULTS_synthetic.json"
+        policies = ("nbv",) if cmd == "eval" else ("nbv", "random", "carving")
         for a in sys.argv[3:]:
             if a.startswith("--poses"):
                 poses = int(a.split("=")[1])
             if a.startswith("--scenes"):
                 scenes = int(a.split("=")[1])
+            if a.startswith("--starts"):
+                starts = int(a.split("=")[1])
+            if a.startswith("--policies"):
+                policies = tuple(a.split("=")[1].split(","))
+            if a.startswith("--out"):
+                out = a.split("=")[1]
         if not os.path.isdir(root) or not os.listdir(root):
             generate_suite(root)
-        run_suite_eval(root, n_poses=poses, max_scenes=scenes)
+        run_suite_eval(root, out_json=out, n_poses=poses,
+                       n_start_poses=starts, max_scenes=scenes,
+                       policies=policies)
     else:
         raise SystemExit(f"unknown command {cmd}")

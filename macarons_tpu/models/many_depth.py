@@ -178,6 +178,12 @@ class DepthDecoder(nn.Module):
     d_max: float = D_MAX
     n_depth: int = N_DEPTH
     use_input_image_in_skip_connection: bool = True
+    # Run the target + alpha frames through the feature extractor as ONE
+    # batch-(1+A) call instead of two separate calls. Eval-mode only (BN uses
+    # running stats, so the math is identical); in train mode the split calls
+    # are kept so BatchNorm batch statistics match the reference's
+    # per-call structure. Same param tree either way.
+    batched_stem: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -187,10 +193,18 @@ class DepthDecoder(nn.Module):
         A = x_alpha.shape[1]
 
         fe = FeatureExtractor(dtype=self.dtype, name="feature_extractor")
-        layer1, conv1 = fe(x, train=train, return_conv1=True)
-        layer1_alpha = fe(
-            x_alpha.reshape(B * A, H, W, 3), train=train
-        ).reshape(B, A, H // 4, W // 4 + (W % 4 > 0), 64)
+        if self.batched_stem and not train:
+            both = jnp.concatenate((x, x_alpha.reshape(B * A, H, W, 3)),
+                                   axis=0)
+            feats, convs1 = fe(both, train=train, return_conv1=True)
+            layer1, conv1 = feats[:B], convs1[:B]
+            layer1_alpha = feats[B:].reshape(
+                B, A, H // 4, W // 4 + (W % 4 > 0), 64)
+        else:
+            layer1, conv1 = fe(x, train=train, return_conv1=True)
+            layer1_alpha = fe(
+                x_alpha.reshape(B * A, H, W, 3), train=train
+            ).reshape(B, A, H // 4, W // 4 + (W % 4 > 0), 64)
 
         conv_reduce = CostVolumeBuilder(
             height=H, width=W, d_min=self.d_min, d_max=self.d_max,
@@ -275,6 +289,8 @@ class ManyDepth(nn.Module):
     n_depth: int = N_DEPTH
     pose_factor: float = POSE_FACTOR
     learn_pose: bool = False
+    # One batch-(1+A) feature-extractor call in eval mode (see DepthDecoder).
+    batched_stem: bool = False
     # bfloat16 runs every conv on the MXU at half the HBM traffic; geometry
     # (poses, warp grids, disparity heads) stays f32 (see CostVolumeBuilder /
     # DisparityLayer). None = full f32 (the parity/unit-test configuration).
@@ -304,7 +320,8 @@ class ManyDepth(nn.Module):
 
         disps = DepthDecoder(
             self.input_height, self.input_width, self.d_min, self.d_max,
-            self.n_depth, dtype=self.dtype, name="depth_decoder",
+            self.n_depth, batched_stem=self.batched_stem, dtype=self.dtype,
+            name="depth_decoder",
         )(x, R, T, x_alpha, R_alpha, T_alpha, train=train)
         return (pose, *disps)
 

@@ -139,7 +139,8 @@ def occupancy_field_impl(occ_model, n_elev: int = 7, n_azim: int = 14,
                          degree: int = 8, k_for_knn: int = 16,
                          max_cells: int = 32, cell_batch: int = 4,
                          compute_dtype: Optional[str] = None,
-                         remat: bool = False):
+                         remat: bool = False,
+                         full_field_chunk: Optional[int] = None):
     """The shared jitted occupancy-field program, cached per
     (model, view-state/harmonics/cell static config).
 
@@ -152,12 +153,18 @@ def occupancy_field_impl(occ_model, n_elev: int = 7, n_azim: int = 14,
     processed (the reference caps supervision passes similarly via
     n_cell_per_occ_forward_pass and skips empty cells).
 
+    `full_field_chunk` sets the while_loop chunk size of the FULL-FIELD path
+    independently of `max_cells` (default: max_cells). Bigger chunks mean
+    fewer sequential loop steps and larger batch-M SconeOcc forwards on the
+    MXU; each chunk runs as ONE batched model call whenever
+    cell_batch >= chunk.
+
     compute_dtype='bfloat16' runs the SconeOcc forward in bf16 (params cast at
     entry, output cast back to f32) — the MXU-native mixed precision for the
     occupancy hot path. None keeps full f32.
     """
     cache_key = (occ_model, n_elev, n_azim, degree, k_for_knn, max_cells,
-                 cell_batch, compute_dtype, remat)
+                 cell_batch, compute_dtype, remat, full_field_chunk)
     if cache_key in _OCC_IMPL_CACHE:
         return _OCC_IMPL_CACHE[cache_key]
     cdtype = jnp.dtype(compute_dtype) if compute_dtype else None
@@ -207,7 +214,7 @@ def occupancy_field_impl(occ_model, n_elev: int = 7, n_azim: int = 14,
             and normalizations happen OUTSIDE the model loop, producing
             stacked (M, ...) arrays; stage 2's lax.map then slices contiguous
             memory instead of re-gathering per iteration."""
-            M = max_cells
+            M = top_cells.shape[0]
             c_slots = slots[top_cells]  # (M, K_cell)
             masks_in = elig_per_slot[top_cells]  # (M, K_cell)
             X_world = proxy.points[c_slots]  # (M, K_cell, 3)
@@ -299,12 +306,13 @@ def occupancy_field_impl(occ_model, n_elev: int = 7, n_azim: int = 14,
             # cells, macarons_utils.py:1433-1441 — the
             # n_cell_per_occ_forward_pass cap applies only to supervision,
             # :1235). Cells sorted by eligible count are consumed in
-            # max_cells-sized chunks by a device-side while_loop that stops at
+            # chunk-sized slabs by a device-side while_loop that stops at
             # the first chunk with no eligible cells — cost scales with the
             # number of eligible cells, no host round-trips.
+            chunk = min(full_field_chunk or max_cells, C)
             order = jnp.argsort(-counts)
-            n_chunks = -(-C // max_cells)
-            pad = n_chunks * max_cells - C
+            n_chunks = -(-C // chunk)
+            pad = n_chunks * chunk - C
             pad_order = jnp.concatenate(
                 [order, jnp.zeros((pad,), order.dtype)]) if pad else order
             pad_counts = jnp.concatenate(
@@ -313,7 +321,7 @@ def occupancy_field_impl(occ_model, n_elev: int = 7, n_azim: int = 14,
 
             def chunk_elig(i):
                 return jnp.sum(jax.lax.dynamic_slice(
-                    pad_counts, (i * max_cells,), (max_cells,)))
+                    pad_counts, (i * chunk,), (chunk,)))
 
             def cond(carry):
                 i, _ = carry
@@ -321,10 +329,10 @@ def occupancy_field_impl(occ_model, n_elev: int = 7, n_azim: int = 14,
 
             def body(carry):
                 i, acc = carry
-                cells = jax.lax.dynamic_slice(pad_order, (i * max_cells,),
-                                              (max_cells,))
+                cells = jax.lax.dynamic_slice(pad_order, (i * chunk,),
+                                              (chunk,))
                 chunk_counts = jax.lax.dynamic_slice(
-                    pad_counts, (i * max_cells,), (max_cells,))
+                    pad_counts, (i * chunk,), (chunk,))
                 acc = scatter(acc, process_cells(cells, chunk_counts > 0))
                 return (i + 1, acc)
 
@@ -358,7 +366,8 @@ def make_occupancy_field_fn(occ_model, cfg: GridConfig, table: CellIndexTable,
                             prediction_neighborhood_size: float = 3.0,
                             k_for_knn: int = 16, max_cells: int = 32,
                             cell_batch: int = 4,
-                            compute_dtype: Optional[str] = None):
+                            compute_dtype: Optional[str] = None,
+                            full_field_chunk: Optional[int] = None):
     """Scene-bound wrapper over the shared occupancy program.
 
     Returns fn(occ_vars, proxy, surface, prediction_camera, key, ...) — same
@@ -367,7 +376,8 @@ def make_occupancy_field_fn(occ_model, cfg: GridConfig, table: CellIndexTable,
     impl = occupancy_field_impl(occ_model, n_elev=n_elev, n_azim=n_azim,
                                 degree=degree, k_for_knn=k_for_knn,
                                 max_cells=max_cells, cell_batch=cell_batch,
-                                compute_dtype=compute_dtype)
+                                compute_dtype=compute_dtype,
+                                full_field_chunk=full_field_chunk)
     tables = device_cell_tables(cfg, table, prediction_neighborhood_size)
 
     def run(occ_vars, proxy, surface, prediction_camera, key, **kw):

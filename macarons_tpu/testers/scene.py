@@ -70,8 +70,20 @@ def compute_trajectory(rt: MacaronsRuntime, scene: SceneState, memory: Memory,
                        surface_epsilon: float,
                        use_collision: bool = False,
                        start_idx: Optional[np.ndarray] = None,
+                       policy: str = "nbv",
                        verbose: bool = False):
-    """One frozen-weights exploration trajectory (reference :284-618)."""
+    """One frozen-weights exploration trajectory (reference :284-618).
+
+    ``policy`` selects the next-pose rule — the baselines exist to measure the
+    LIFT of the learned NBV model on identical scenes/seeds (the reference's
+    published trajectories, results/scene_exploration/
+    test_results_in_default_scenes.json, serve the same purpose):
+      - "nbv": occupancy field + SconeVis coverage gains (the model).
+      - "random": uniform random valid neighbor (no model).
+      - "carving": no SconeVis — score each candidate by the summed occupancy
+        of never-yet-observed proxy points inside its FoV (a pure
+        carving-state heuristic; "observed" = any nonzero view-state bin).
+    """
     params = rt.params
     cam = scene.camera
     if start_idx is None:
@@ -108,20 +120,22 @@ def compute_trajectory(rt: MacaronsRuntime, scene: SceneState, memory: Memory,
                                 carving_tolerance=params.get("carving_tolerance", 0.0),
                                 score_threshold=params.get("score_threshold", 1.0))
 
-        key, k_occ = jax.random.split(key)
-        proba, pred_mask, harmonics = rt.occupancy_field(
-            variables.occ, scene.proxy, scene.surface_scene, cam.fov_camera_0,
-            k_occ)
-        if params.get("use_supervision_occ", False):
-            # Carving pseudo-GT replaces the predicted field (reference
-            # use_supervision_occ_instead_of_predicted bypass,
-            # macarons_utils.py:1501-1503) — the decoupling fixture that makes
-            # exploration quality measurable without trained weights.
-            proba = scene.proxy.supervision_occ
-            pred_mask = scene.proxy.out_of_field[:, 0] < 1.0
-        scene.proxy = scene.proxy._replace(
-            proba=jnp.where(pred_mask[:, None], proba, scene.proxy.proba))
-        field = R.assemble_scene_field(scene.proxy, proba, pred_mask, harmonics)
+        if policy == "nbv":
+            key, k_occ = jax.random.split(key)
+            proba, pred_mask, harmonics = rt.occupancy_field(
+                variables.occ, scene.proxy, scene.surface_scene,
+                cam.fov_camera_0, k_occ)
+            if params.get("use_supervision_occ", False):
+                # Carving pseudo-GT replaces the predicted field (reference
+                # use_supervision_occ_instead_of_predicted bypass,
+                # macarons_utils.py:1501-1503) — the decoupling fixture that
+                # makes exploration quality measurable without trained weights.
+                proba = scene.proxy.supervision_occ
+                pred_mask = scene.proxy.out_of_field[:, 0] < 1.0
+            scene.proxy = scene.proxy._replace(
+                proba=jnp.where(pred_mask[:, None], proba, scene.proxy.proba))
+            field = R.assemble_scene_field(scene.proxy, proba, pred_mask,
+                                           harmonics)
 
         neighbors = cam.get_neighboring_poses()
         valid_nbrs = cam.get_valid_neighbors(neighbors, scene.verts_dev)
@@ -139,20 +153,41 @@ def compute_trajectory(rt: MacaronsRuntime, scene: SceneState, memory: Memory,
             if keep:
                 valid_nbrs = np.stack(keep)
 
-        poses = cam.pose_space.pose_from_idx(jnp.asarray(valid_nbrs))
-        X_cand = poses[:, :3]
-        R_c, T_c = get_camera_RT(X_cand, poses[:, 3:])
-        cand_cams = FoVCamera.create(R_c, T_c, zfar=rt.dcfg.zfar)
-        # Static candidate bucket => the scorer compiles once (see trainer)
-        cand_cams, X_cand, n_cand = pad_candidates(
-            cand_cams, X_cand, params.get("nbv_candidate_bucket", 8))
-        box_diag = float(np.linalg.norm(
-            np.asarray(scene.cfg.x_max) - np.asarray(scene.cfg.x_min)))
-        key, k_cov = jax.random.split(key)
-        gains = rt.coverage_gains(
-            variables.vis, *field, cand_cams, X_cand, cam.fov_camera_0,
-            box_diag, scene.cfg.resolution, rt.sensor_range, k_cov)[:n_cand]
-        next_idx = valid_nbrs[int(jnp.argmax(gains))]
+        if policy == "random":
+            next_idx = valid_nbrs[int(rs.integers(len(valid_nbrs)))]
+        else:
+            poses = cam.pose_space.pose_from_idx(jnp.asarray(valid_nbrs))
+            X_cand = poses[:, :3]
+            R_c, T_c = get_camera_RT(X_cand, poses[:, 3:])
+            cand_cams = FoVCamera.create(R_c, T_c, zfar=rt.dcfg.zfar)
+            # Static candidate bucket => the scorer compiles once (see trainer)
+            cand_cams, X_cand, n_cand = pad_candidates(
+                cand_cams, X_cand, params.get("nbv_candidate_bucket", 8))
+            if policy == "carving":
+                # Max-uncovered-proxy heuristic: summed carving occupancy of
+                # never-observed proxies in each candidate's FoV. No neural
+                # nets — isolates what the carving state alone buys.
+                from ..ops.projection import points_in_fov_mask
+
+                C = X_cand.shape[0]
+                in_fov = points_in_fov_mask(
+                    jnp.broadcast_to(scene.proxy.points[None],
+                                     (C, *scene.proxy.points.shape)),
+                    cand_cams, rt.H, rt.W, fov_range=rt.sensor_range)
+                unseen = jnp.sum(scene.proxy.view_states, axis=-1) == 0
+                gains = jnp.sum(
+                    jnp.where(in_fov & unseen[None],
+                              scene.proxy.supervision_occ[None, :, 0], 0.0),
+                    axis=-1)[:n_cand]
+            else:
+                box_diag = float(np.linalg.norm(
+                    np.asarray(scene.cfg.x_max) - np.asarray(scene.cfg.x_min)))
+                key, k_cov = jax.random.split(key)
+                gains = rt.coverage_gains(
+                    variables.vis, *field, cand_cams, X_cand,
+                    cam.fov_camera_0, box_diag, scene.cfg.resolution,
+                    rt.sensor_range, k_cov)[:n_cand]
+            next_idx = valid_nbrs[int(jnp.argmax(gains))]
 
         # Move and capture (one batched render); TRUE coverage from GT zbuf
         _, gt_depth, gt_mask, batch_cam = move_and_capture(
@@ -195,12 +230,15 @@ def run_test(params: Params, data_path: Optional[str] = None,
              max_scenes: Optional[int] = None,
              test_scenes: Optional[list] = None,
              load_json: bool = False,
+             policy: str = "nbv",
              verbose: bool = True):
     """Full evaluation over scenes x start poses (reference run_test :621-765).
 
     ``test_scenes`` restricts evaluation to the named scenes and ``load_json``
     merges into an existing results file — both reference test-config
-    behaviors (reference testers/scene.py:636, :664-668)."""
+    behaviors (reference testers/scene.py:636, :664-668). ``policy`` selects
+    the next-pose rule (see compute_trajectory) — "random"/"carving" are the
+    baseline policies the learned NBV model is measured against."""
     data_path = data_path or params.get("dataset_path") or params.data_path
     rs = np.random.default_rng(params.get("random_seed", 42))
     key = jax.random.PRNGKey(params.get("torch_seed", 5))
@@ -250,7 +288,7 @@ def run_test(params: Params, data_path: Optional[str] = None,
                 n_poses=n_poses or params.get("n_poses_in_trajectory", 100),
                 surface_epsilon=surface_epsilon,
                 use_collision=params.get("use_collision", False),
-                start_idx=start_idx, verbose=verbose,
+                start_idx=start_idx, policy=policy, verbose=verbose,
             )
             results[name][str(start_i)] = traj
             if params.get("export_results", False):

@@ -244,6 +244,14 @@ class MacaronsRuntime:
             use_perfect_depth=params.get("use_perfect_depth", False),
             train=True,
         )
+        # FULL-FIELD while_loop chunk: independent of the supervision cap
+        # (n_cell_per_occ_forward_pass) — bigger chunks mean fewer sequential
+        # loop steps and one larger batch-M SconeOcc forward per step on the
+        # MXU (see occupancy_field_impl). Default None keeps chunk ==
+        # max_cells (the round-4 behavior): the one on-chip ffc=48 datapoint
+        # measured SLOWER than chunk=32 (ROADMAP "full-field chunk size"), so
+        # bigger chunks stay opt-in until a clean interleaved A/B favors them.
+        ff_chunk = params.get("occ_full_field_chunk", None)
         self._occ_impl = R.occupancy_field_impl(
             model.occ,
             n_elev=params.get("view_state_n_elev", 7),
@@ -251,13 +259,16 @@ class MacaronsRuntime:
             degree=params.get("harmonic_degree", 8),
             k_for_knn=params.get("k_for_knn", 16),
             max_cells=params.get("n_cell_per_occ_forward_pass", 12),
-            # Default cell_batch == max_cells engages the single-call batched
-            # path (one batch-M SconeOcc forward per chunk instead of a
-            # lax.map of micro-batches): measured 2.84x on v5e for the
-            # 32-cell inference field (same-session A/B, bit-exact outputs).
+            # Default cell_batch == max(cap, full-field chunk) engages the
+            # single-call batched path everywhere (one batch-M SconeOcc
+            # forward per chunk instead of a lax.map of micro-batches):
+            # measured 2.84x on v5e for the 32-cell inference field
+            # (same-session A/B, bit-exact outputs).
             cell_batch=params.get(
                 "occ_cell_batch",
-                params.get("n_cell_per_occ_forward_pass", 12)),
+                max(params.get("n_cell_per_occ_forward_pass", 12),
+                    ff_chunk or 0)),
+            full_field_chunk=ff_chunk,
             # bf16 is available via occ_compute_dtype but measured slightly
             # SLOWER at reference scale on v5e-1 (0.87 vs 0.61 ms at 32 cells:
             # the transformers are small enough that cast overhead dominates),

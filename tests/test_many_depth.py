@@ -256,3 +256,22 @@ def test_bf16_compute_dtype():
         assert np.isfinite(a16).all()
         # sigmoid disparities in (0,1): bf16 conv error stays small
         assert np.abs(a32 - a16).max() < 0.05, np.abs(a32 - a16).max()
+
+
+def test_batched_stem_eval_equivalence(small_model):
+    """ManyDepth(batched_stem=True): one batch-(1+A) feature-extractor call
+    in eval mode — identical param tree and near-identical outputs to the
+    split-call forward (BN uses running stats in eval, so the math is the
+    same; only the conv batching differs)."""
+    model, variables, x, x_alpha, R, T, gt_pose = small_model
+    bmodel = md.ManyDepth(input_height=H, input_width=W, d_min=0.5,
+                          d_max=20.0, n_depth=16, batched_stem=True)
+    out = model.apply(variables, x, x_alpha, R, T, gt_pose=gt_pose)
+    bout = bmodel.apply(variables, x, x_alpha, R, T, gt_pose=gt_pose)
+    for o, b in zip(out[1:], bout[1:]):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(b), atol=2e-6)
+    # Train mode falls back to the split calls (BN batch statistics must
+    # match the reference's per-call structure): same apply still works.
+    tout, _ = bmodel.apply(variables, x, x_alpha, R, T, gt_pose=gt_pose,
+                           train=True, mutable=["batch_stats"])
+    assert np.isfinite(np.asarray(tout[1])).all()

@@ -118,16 +118,28 @@ def test_occupancy_field_full_coverage(scene_setup):
                                      max_cells=4, cell_batch=2)
     run27 = R.make_occupancy_field_fn(occ_model, cfg, table, k_for_knn=8,
                                       max_cells=27, cell_batch=2)
+    # full_field_chunk decouples the FULL-FIELD while_loop slab size from the
+    # supervision cap (max_cells); cell_batch >= chunk runs each slab as one
+    # batched SconeOcc forward. Must be bit-identical to the default path.
+    run_ffc = R.make_occupancy_field_fn(occ_model, cfg, table, k_for_knn=8,
+                                        max_cells=4, cell_batch=9,
+                                        full_field_chunk=9)
     key = jax.random.PRNGKey(1)
     p_full, m_full, h_full = run4(occ_vars, prox, surface, cam.fov_camera_0,
                                   key, full_field=True)
     p_cap, m_cap, _ = run4(occ_vars, prox, surface, cam.fov_camera_0, key)
     p_one, m_one, _ = run27(occ_vars, prox, surface, cam.fov_camera_0, key,
                             full_field=True)
-    m_full, m_cap, m_one = map(np.asarray, (m_full, m_cap, m_one))
+    p_ffc, m_ffc, _ = run_ffc(occ_vars, prox, surface, cam.fov_camera_0, key,
+                              full_field=True)
+    m_full, m_cap, m_one, m_ffc = map(np.asarray,
+                                      (m_full, m_cap, m_one, m_ffc))
     # Chunk partition must not change the result
     np.testing.assert_array_equal(m_full, m_one)
     np.testing.assert_allclose(np.asarray(p_full), np.asarray(p_one),
+                               atol=1e-5)
+    np.testing.assert_array_equal(m_full, m_ffc)
+    np.testing.assert_allclose(np.asarray(p_full), np.asarray(p_ffc),
                                atol=1e-5)
     # The capped program's predictions are a strict subset: the scene has more
     # eligible cells than the 4-cell cap
