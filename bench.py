@@ -252,8 +252,12 @@ def stage_calib():
     WITHIN a session; the headline's vs_baseline is a same-session structural
     ratio and stays meaningful regardless."""
     n = 8192
-    a = jax.device_put(np.random.default_rng(0).standard_normal(
-        (n, n)).astype(np.float32))
+    # Generated ON DEVICE: a 256 MB device_put hangs indefinitely when the
+    # tunnel itself is sick (observed r5: the h2d blocked >20 min while a
+    # 16 MB transfer went through), and the calib must never be the stage
+    # that wedges the whole bench.
+    a = jax.jit(lambda k: jax.random.normal(k, (n, n), jnp.float32))(
+        jax.random.PRNGKey(0))
     f = jax.jit(lambda x, i: x @ (x + i))
     dt = _measure(lambda i: f(a, float(i)), _n(20, floor=3), drain_s=10.0,
                   label="calibration f32 8192^3 matmul")
@@ -652,38 +656,20 @@ def main():
     else:
         log("calibration failed; assuming a healthy session")
 
-    # Plan the headline bracket against the remaining budget. The bracket is
-    # 2 full-field runs (n_full iters each) + 1 sequential run (n_seq iters,
-    # ~n_cand x the full-field cost per iter), plus a warmup iter per run.
-    est_t_full = _T_FULL_HEALTHY_S * degradation
-
-    def bracket_est(n_full, n_seq, t_full, n_cand=30):
-        return (2 * (n_full + 1) + (n_seq + 1) * n_cand) * t_full + 180.0
-
-    scale = min(1.0, max(tflops / 40.0, 0.1))
-    n_full, n_seq = max(2, int(round(20 * scale))), max(1, int(round(3 * scale)))
-    reduced = os.environ.get("MACARONS_BENCH_SCALE") == "reduced"
-    if bracket_est(n_full, n_seq, est_t_full) > 0.75 * _remaining():
-        # Children derive their n_iter from the env scale; 0.1 is the floor
-        # plan (2 full-field iters, 1 sequential iter).
-        scale, n_full, n_seq = 0.1, 2, 1
-    if bracket_est(n_full, n_seq, est_t_full) > 0.75 * _remaining():
-        # Too sick for production scale: fall back to the ~8x-smaller program
-        # with the same launch structure so a measured ratio still lands
-        # (if even this blows the deadline, the kill leaves the best stage
-        # measured so far — never a silent rc=124 with no output).
-        reduced = True
-        os.environ["MACARONS_BENCH_SCALE"] = "reduced"
-        log(f"session too degraded for production scale (est "
-            f"{bracket_est(n_full, n_seq, est_t_full):.0f} s > budget); "
-            f"switching the decision bracket to REDUCED scale")
+    # The matmul probe is a HEALTH DATUM, not the planner: shared-pool
+    # degradation is size-dependent (measured r5: the 8192^3 matmul ran
+    # 7000x degraded while the full-field decision program — many small
+    # kernels — ran within ~1.5x of its healthy-session time in the SAME
+    # window). Planning therefore trusts a measurement of the workload
+    # itself: a floor-iteration decision_full PROBE runs first, and every
+    # later decision comes from its measured per-iter time.
     if degradation > 3.0:
         # Per-launch RTT is negligible against degraded compute; exact
         # pull-drains beat guessed sleep drains for budget and correctness.
         os.environ["MACARONS_BENCH_SYNC"] = "1"
-    os.environ["MACARONS_BENCH_ITER_SCALE"] = f"{scale:.4f}"
-    log(f"plan: iter_scale={scale:.2f} sync={bool(os.environ.get('MACARONS_BENCH_SYNC'))} "
-        f"reduced={reduced} n_full={n_full} n_seq={n_seq} "
+    reduced = os.environ.get("MACARONS_BENCH_SCALE") == "reduced"
+    os.environ["MACARONS_BENCH_ITER_SCALE"] = "0.1"  # probe floor: 2 iters
+    log(f"probe plan: sync={bool(os.environ.get('MACARONS_BENCH_SYNC'))} "
         f"budget_left={_remaining():.0f}s")
 
     def emit_headline(dec_full, dec_seq):
@@ -714,11 +700,40 @@ def main():
     # last JSON line), so even a kill mid-sequential leaves a parsed value.
     headline = None
     dec_full = _run_stage_subprocess("decision_full", tflops)
+    if dec_full is None and not reduced:
+        # Even the 2-iter probe died inside the budget window: the one
+        # fallback that can still land a ratio is the ~8x-smaller program
+        # with the same launch structure.
+        reduced = True
+        os.environ["MACARONS_BENCH_SCALE"] = "reduced"
+        log("production-scale probe failed; retrying at REDUCED scale")
+        dec_full = _run_stage_subprocess("decision_full", tflops)
     if dec_full is not None:
         headline = emit_headline(dec_full, None)  # provisional, vs null
+
+    # Plan the rest from the MEASURED per-iter time. The sequential stage
+    # costs ~n_cand x t_full per iter plus one warmup run and a compile
+    # (~120 s on this runtime); the second bracket is cheap by comparison.
+    t_full = (dec_full["decision_full_ms"] / 1e3 if dec_full else
+              _T_FULL_HEALTHY_S * degradation)
+    seq_cost = (1 + 1) * 30 * t_full + 150.0
+    if dec_full is not None and seq_cost > 0.7 * _remaining() and not reduced:
+        reduced = True
+        os.environ["MACARONS_BENCH_SCALE"] = "reduced"
+        log(f"measured t_full={t_full:.1f}s makes the sequential stage "
+            f"(~{seq_cost:.0f}s) blow the budget; re-probing the bracket at "
+            f"REDUCED scale")
+        dec_full = _run_stage_subprocess("decision_full", tflops)
+        if dec_full is not None:
+            headline = emit_headline(dec_full, None)
+            t_full = dec_full["decision_full_ms"] / 1e3
+    # More full-field iters for the second bracket when the session affords
+    # them (cap at the healthy-session default of 20).
+    n_full2 = max(2, min(20, int(0.15 * _remaining() / max(t_full, 1e-3))))
     dec_seq = _run_stage_subprocess("decision_seq", tflops)
     if dec_full is not None and dec_seq is not None:
         headline = emit_headline(dec_full, dec_seq)  # measured ratio lands
+    os.environ["MACARONS_BENCH_ITER_SCALE"] = f"{n_full2 / 20:.4f}"
     dec_full2 = _run_stage_subprocess("decision_full", tflops)
     if dec_full is not None and dec_full2 is not None:
         drift = dec_full2["decision_full_ms"] / dec_full["decision_full_ms"]
@@ -734,7 +749,7 @@ def main():
     # final headline re-print always happens.
     RESERVE = 10.0
     tail = ["decision", "scorer", "depth", "pose"]
-    if degradation > 20.0:
+    if t_full > 20.0 * _T_FULL_HEALTHY_S:
         tail = ["pose"]  # micros are meaningless and slow when this sick
     results = {}
     for name in tail:

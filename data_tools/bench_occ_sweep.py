@@ -51,8 +51,10 @@ def child(spec):
         import numpy as np
 
         n = 8192
-        a = jax.device_put(np.random.default_rng(0).standard_normal(
-            (n, n), dtype=np.float32))
+        # On-device generation: a 256 MB device_put wedges when the tunnel
+        # is sick (r5 observation) — never transfer the calib matrix.
+        a = jax.jit(lambda k: jax.random.normal(k, (n, n), jnp.float32))(
+            jax.random.PRNGKey(0))
         f = jax.jit(lambda x, i: x @ (x + i))
         out = f(a, 0.0)
         del out
@@ -111,8 +113,16 @@ def child(spec):
         return proba
 
     out = step(0)
-    del out
-    time.sleep(drain_s)
+    if kv.get("sync") == "1":
+        # Exact drain: pull the warmup output (flips the process into
+        # synchronous dispatch — each timed iter then includes one launch
+        # RTT, negligible against device time on the degraded sessions
+        # where this mode is used; see bench.py MACARONS_BENCH_SYNC).
+        np.asarray(jnp.sum(out))
+        del out
+    else:
+        del out
+        time.sleep(drain_s)
     t0 = time.perf_counter()
     for i in range(n_iter):
         out = step(i)

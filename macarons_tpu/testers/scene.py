@@ -262,6 +262,14 @@ def run_test(params: Params, data_path: Optional[str] = None,
     surface_epsilon = (2.0 * params.get("test_resolution", 0.05)
                       * params.get("scene_scale_factor", 1.0))
     results: Dict[str, Dict] = {}
+    # Prior results are loaded UP FRONT so the incremental per-trajectory
+    # saves never clobber scenes from an earlier run (load_json merge
+    # semantics, reference testers/scene.py:664-668).
+    _prior: Dict[str, Dict] = {}
+    _out_path = os.path.join(results_dir, results_name)
+    if load_json and os.path.isfile(_out_path):
+        with open(_out_path) as f:
+            _prior = json.load(f)
     rt = None
     t0 = time.time()
     names = dataset.scene_names[:max_scenes] if max_scenes else dataset.scene_names
@@ -291,6 +299,12 @@ def run_test(params: Params, data_path: Optional[str] = None,
                 start_idx=start_idx, policy=policy, verbose=verbose,
             )
             results[name][str(start_i)] = traj
+            # Incremental save after EVERY trajectory (the reference saves
+            # results_json after each scene, testers/scene.py:758-760): a
+            # killed long evaluation leaves a valid partial results file.
+            os.makedirs(results_dir, exist_ok=True)
+            with open(_out_path, "w") as f:
+                json.dump({**_prior, **results}, f)
             if params.get("export_results", False):
                 # Blender camera curves + reconstructed surface PLY
                 # (reference export branches, testers/scene.py:284-618 +
