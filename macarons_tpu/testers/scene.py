@@ -153,7 +153,15 @@ def compute_trajectory(rt: MacaronsRuntime, scene: SceneState, memory: Memory,
             if keep:
                 valid_nbrs = np.stack(keep)
 
-        if policy == "random":
+        if len(valid_nbrs) == 0:
+            # Lattice dead end (every neighbor occupied/out-of-bounds — can
+            # happen mid-trajectory in synthetic scenes; the reference's
+            # default scenes never exercise this). Backtrack to the pose we
+            # came from (guaranteed reachable); with no history, stay put
+            # and re-capture.
+            hist = cam.cam_idx_history
+            next_idx = np.asarray(hist[-2] if len(hist) >= 2 else cam.cam_idx)
+        elif policy == "random":
             next_idx = valid_nbrs[int(rs.integers(len(valid_nbrs)))]
         else:
             poses = cam.pose_space.pose_from_idx(jnp.asarray(valid_nbrs))
