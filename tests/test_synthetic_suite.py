@@ -33,8 +33,9 @@ def test_suite_eval_smoke(tmp_path):
     root = str(tmp_path / "scenes")
     S.generate_suite(root, n_scenes=2)
     out = str(tmp_path / "RESULTS_synthetic.json")
-    summary = S.run_suite_eval(root, out_json=out, n_poses=3,
-                               n_start_poses=1, verbose=False)
+    summaries = S.run_suite_eval(root, out_json=out, n_poses=3,
+                                 n_start_poses=1, verbose=False)
+    summary = summaries["nbv"]  # one summary per evaluated policy (r5)
     assert summary["n_scenes"] == 2
     assert 0.0 < summary["mean_final_coverage"] <= 1.0
     assert 0.0 < summary["mean_auc"] <= 1.0
